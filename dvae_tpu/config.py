@@ -1,0 +1,259 @@
+"""Experiment configuration: schema, validation, loading.
+
+Public contract matches the reference's flat-JSON config exactly
+(reference: vae/utils.py:48-88, README.md:115-127) so that
+reproduction_configs/*.json run unchanged. Unknown keys warn, missing or
+mistyped keys raise ValueError.
+
+Extensions (all optional, warn-free, default to reference behavior):
+  - "compute_dtype": "float32" | "bfloat16"  -- matmul compute dtype on TPU.
+  - "num_data_shards": int                   -- size of the `data` mesh axis.
+  - "deterministic_eval_z": bool             -- if true, fixes reference quirk
+    #1 (eval z was always stochastic, model.py:391-395). Default false
+    (preserve reference behavior; MIG protocol depends on stochastic z).
+  - "mi_loss_weight_train" / "mi_loss_weight_eval": float -- reference
+    hardcodes 0.01 / 1.0 (run.py:238-239, 378). Same defaults here.
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+
+# Typed schema of required keys. Mirrors reference vae/utils.py:49-77.
+REQUIRED_SCHEMA: Dict[str, type] = {
+    "name": str,
+    "random_seed": int,
+    "data_dir": str,
+    "combined_dataset": bool,
+    "dataset_minibatch_ratios": dict,
+    "checkpoint_dir": str,
+    "glove_path": str,
+    "num_train_examples": int,
+    "lowercase": bool,
+    "reverse_input": bool,
+    "embedding_dim": int,
+    "hidden_dim": int,
+    "num_rnn_layers": int,
+    "bidirectional_encoder": bool,
+    "bow_encoder": bool,
+    "latent_dims": dict,
+    "epochs": int,
+    "batch_size": int,
+    "learn_rate": float,
+    "encoder_dropout": float,
+    "decoder_dropout": float,
+    "teacher_forcing_prob": float,
+    "lambdas": dict,
+    "adversarial_loss": bool,
+    "mi_loss": bool,
+    "train": bool,
+    "validate": bool,
+    "test": bool,
+}
+
+# Optional extension keys (TPU build). Values are (type, default).
+OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
+    "compute_dtype": (str, "float32"),
+    "num_data_shards": (int, 1),
+    "deterministic_eval_z": (bool, False),
+    "mi_loss_weight_train": (float, 0.01),
+    "mi_loss_weight_eval": (float, 1.0),
+    "max_sequence_length": (int, -1),  # -1: derive from data
+    "log_tensorboard": (bool, True),
+    "note": (str, ""),  # reproduction configs carry a free-text note field
+}
+
+
+def validate_params(params: Dict[str, Any]) -> None:
+    """Validate a config dict against the required schema.
+
+    Same semantics as reference vae/utils.py:48-88: raise ValueError on
+    missing/mistyped required keys, warn on unknown keys. (The reference's
+    unreachable second ValueError -- utils.py:83-84, quirk #12 -- is folded
+    into one message here.)
+    """
+    for key, typ in REQUIRED_SCHEMA.items():
+        if key not in params:
+            raise ValueError(f"parameter file missing '{key}'")
+        val = params[key]
+        # bool is a subclass of int; reject bools where ints are expected.
+        if typ is int and isinstance(val, bool):
+            raise ValueError(
+                f"Parameter '{key}' of incorrect type! "
+                f"Expected '{typ}' but got '{type(val)}'.")
+        if typ is float and isinstance(val, int) and not isinstance(val, bool):
+            continue  # JSON integers are acceptable floats
+        if not isinstance(val, typ):
+            raise ValueError(
+                f"Parameter '{key}' of incorrect type! "
+                f"Expected '{typ}' but got '{type(val)}'.")
+
+    for key in params:
+        if key not in REQUIRED_SCHEMA and key not in OPTIONAL_SCHEMA:
+            warnings.warn(
+                f"Ignoring unused parameter '{key}' in parameter file.")
+
+    lat = params["latent_dims"]
+    if "total" not in lat:
+        raise ValueError("latent_dims must contain a 'total' key")
+    named = sum(v for k, v in lat.items() if k != "total")
+    if named > lat["total"]:
+        raise ValueError(
+            f"named latent dims ({named}) exceed latent_dims['total'] "
+            f"({lat['total']})")
+    if "default" not in params["lambdas"]:
+        # Reference falls back to lambdas["default"] (losses.py:170-174);
+        # require it up front so a KeyError cannot surface mid-training.
+        needed = [k for k in lat if k != "total"]
+        if named < lat["total"]:
+            needed.append("content")
+        for k in needed:
+            if k not in params["lambdas"]:
+                raise ValueError(
+                    "lambdas must contain 'default' or a weight per latent "
+                    f"(missing '{k}')")
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    """Load + validate a config file; fill optional extension defaults."""
+    with open(path, "r") as f:
+        params = json.load(f)
+    validate_params(params)
+    for key, (_typ, default) in OPTIONAL_SCHEMA.items():
+        params.setdefault(key, default)
+    return params
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static (hashable) model hyperparameters, closed over by jitted fns.
+
+    Derived from the JSON config + dataset statistics. Latent ordering is
+    deterministic-by-design: named (discriminator) latents in config order,
+    'content' last (fixes reference quirk #8 -- model.py:438-441 relied on
+    dict insertion order).
+    """
+    vocab_size: int
+    emb_dim: int
+    hidden_dim: int
+    enc_layers: int
+    dec_layers: int
+    bidirectional: bool
+    bow_encoder: bool
+    latent_names: Tuple[str, ...]       # order used for z concat
+    latent_dims: Tuple[int, ...]        # aligned with latent_names
+    dsc_names: Tuple[str, ...]          # discriminator heads (subset of latent_names)
+    dsc_output_dims: Tuple[int, ...]    # aligned with dsc_names (binary -> 1)
+    adv_pairs: Tuple[Tuple[str, str], ...]  # (latent_name, label_name)
+    mi_pairs: Tuple[Tuple[str, str], ...]   # unordered latent pairs
+    sos_idx: int
+    eos_idx: int
+    pad_idx: int
+    encoder_dropout: float
+    decoder_dropout: float
+    adversarial_loss: bool
+    mi_loss: bool
+    frozen_embeddings: bool
+    compute_dtype: str = "float32"
+    max_length: int = 32
+
+    @property
+    def total_latent_dim(self) -> int:
+        return sum(self.latent_dims)
+
+    @property
+    def context_dim(self) -> int:
+        ndir = 2 if self.bidirectional else 1
+        if self.bow_encoder:
+            # BOW context = emb_dim (reference model.py:29, 43-49)
+            return self.emb_dim
+        return self.hidden_dim * self.enc_layers * ndir
+
+    def latent_dim_of(self, name: str) -> int:
+        return self.latent_dims[self.latent_names.index(name)]
+
+    def dsc_output_dim_of(self, name: str) -> int:
+        return self.dsc_output_dims[self.dsc_names.index(name)]
+
+    def mi_hidden_of(self, pair: Tuple[str, str]) -> int:
+        # reference model.py:349: hidden = max(dim_i, dim_j, 5)
+        return max(self.latent_dim_of(pair[0]), self.latent_dim_of(pair[1]), 5)
+
+
+def build_model_config(params: Dict[str, Any], vocab_size: int,
+                       label_dims: Dict[str, int], sos_idx: int, eos_idx: int,
+                       max_length: int,
+                       frozen_embeddings: bool = False) -> ModelConfig:
+    """Assemble the static ModelConfig from config + dataset facts.
+
+    Mirrors reference build_vae wiring (model.py:515-559):
+      - one Discriminator per label in label_dims that also appears in
+        latent_dims (model.py:544-551)
+      - leftover latent dims become 'content' (model.py:296-302)
+      - adversaries for every (latent, other-label) pair (model.py:323-335)
+      - CLUB estimators for every unordered latent pair (model.py:337-355)
+      - decoder num_layers coerced 1->2 (model.py:123-124, quirk #9 preserved:
+        it is part of every trained reference checkpoint's shape)
+    """
+    lat = params["latent_dims"]
+    dsc_names = [n for n in lat if n != "total" and n in label_dims]
+    dsc_output_dims = [label_dims[n] for n in dsc_names]
+    latent_names = list(dsc_names)
+    latent_dims = [lat[n] for n in dsc_names]
+    named_total = sum(latent_dims)
+    assert named_total <= lat["total"], "named latents exceed total"
+    if named_total < lat["total"]:
+        latent_names.append("content")
+        latent_dims.append(lat["total"] - named_total)
+
+    adv_pairs = []
+    if params["adversarial_loss"]:
+        for ln in latent_names:
+            for lab in dsc_names:
+                if ln == lab:
+                    continue
+                adv_pairs.append((ln, lab))
+
+    mi_pairs = []
+    if params["mi_loss"]:
+        seen = set()
+        for i in latent_names:
+            for j in latent_names:
+                if i == j or (j, i) in seen:
+                    continue
+                seen.add((i, j))
+                mi_pairs.append((i, j))
+
+    dec_layers = params["num_rnn_layers"]
+    if dec_layers == 1:
+        dec_layers = 2
+
+    return ModelConfig(
+        vocab_size=vocab_size,
+        emb_dim=params["embedding_dim"],
+        hidden_dim=params["hidden_dim"],
+        enc_layers=params["num_rnn_layers"],
+        dec_layers=dec_layers,
+        bidirectional=params["bidirectional_encoder"],
+        bow_encoder=params["bow_encoder"],
+        latent_names=tuple(latent_names),
+        latent_dims=tuple(latent_dims),
+        dsc_names=tuple(dsc_names),
+        dsc_output_dims=tuple(dsc_output_dims),
+        adv_pairs=tuple(adv_pairs),
+        mi_pairs=tuple(mi_pairs),
+        sos_idx=sos_idx,
+        eos_idx=eos_idx,
+        pad_idx=0,
+        encoder_dropout=params["encoder_dropout"],
+        decoder_dropout=params["decoder_dropout"],
+        adversarial_loss=params["adversarial_loss"],
+        mi_loss=params["mi_loss"],
+        frozen_embeddings=frozen_embeddings,
+        compute_dtype=params.get("compute_dtype", "float32"),
+        max_length=max_length,
+    )
