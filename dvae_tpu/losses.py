@@ -1,0 +1,215 @@
+"""All five loss families, mask-aware, fused into the jitted step.
+
+Semantics are pinned to the reference (vae/losses.py) including its
+idiosyncrasies; every function takes an example_mask so statically padded
+batches reproduce the reference's per-batch means over real rows.
+
+  - reconstruction: length-masked token CE, summed over timesteps, averaged
+    over the batch (texar sequence_sparse_softmax_cross_entropy defaults --
+    reference losses.py:137-140)
+  - KL: 0.5*(exp(logvar) + mu^2 - 1 - logvar), batch-mean then dim-sum;
+    treats exp(logvar) as the variance, consistent with the model's
+    std = exp(logvar) sampling convention (losses.py:153-156, quirk #2)
+  - cyclic KL annealing schedule (losses.py:143-150)
+  - discriminator: BCE-with-logits for 1-dim heads, CE otherwise
+    (model.py:176-184)
+  - adversarial entropy: H = -sum(p * log p) over the head's activation,
+    clamped to [1e-8, 1-1e-8]; for sigmoid heads this is literally
+    -p*log(p) (NOT full Bernoulli entropy) -- preserved exactly
+    (model.py:247-258)
+  - CLUB MI estimate / likelihood: see models/club.py
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvae_tpu.config import ModelConfig
+from dvae_tpu.models.club import club_loglikeli, club_mi_estimate
+from dvae_tpu.models.vae import LatentParams
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return (x * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def reconstruction_loss(targets: jnp.ndarray, logits: jnp.ndarray,
+                        lengths: jnp.ndarray,
+                        example_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked token CE: sum over valid timesteps, mean over batch.
+
+    Matches texar sequence_sparse_softmax_cross_entropy defaults
+    (sum_over_timesteps=True, average_across_batch=True) as used by the
+    reference (losses.py:137-140). Position 0 (the hardcoded SOS one-hot
+    logits) is included, as in the reference.
+    """
+    T = targets.shape[1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_ll = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]          # [B, T]
+    tmask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(logp.dtype)
+    per_ex = -(tok_ll * tmask).sum(axis=1)                 # [B]
+    return _masked_mean(per_ex, example_mask)
+
+
+def get_cyclic_kl_weight(step, total_steps: int, cycles: int = 4,
+                         rate: float = 0.5):
+    """Cyclic annealing (reference losses.py:143-150). Works on scalars or
+    traced arrays."""
+    denom = total_steps / cycles
+    numer = step % np.ceil(denom)
+    tau = numer / denom
+    return jnp.where(tau <= rate, tau / rate, 1.0)
+
+
+def kl_divergence(mu: jnp.ndarray, logvar: jnp.ndarray,
+                  example_mask: jnp.ndarray) -> jnp.ndarray:
+    """KL(N(mu, exp(logvar)) || N(0, I)): masked batch-mean, dim-sum
+    (reference losses.py:153-156)."""
+    kl = 0.5 * (jnp.exp(logvar) + mu ** 2 - 1.0 - logvar)  # [B, D]
+    return (kl * example_mask[:, None]).sum() / jnp.maximum(
+        example_mask.sum(), 1.0)
+
+
+def compute_kl_divergence_losses(cfg: ModelConfig,
+                                 latent_params: Dict[str, LatentParams],
+                                 kl_weights: Dict[str, jnp.ndarray],
+                                 example_mask: jnp.ndarray) -> Dict:
+    idv_kls = {}
+    total_kl = 0.0
+    total_weighted_kl = 0.0
+    for name in cfg.latent_names:
+        lp = latent_params[name]
+        kl = kl_divergence(lp.mu, lp.logvar, example_mask)
+        idv_kls[name] = kl
+        total_kl = total_kl + kl
+        total_weighted_kl = total_weighted_kl + kl_weights[name] * kl
+    return {"total_weighted_kl": total_weighted_kl,
+            "total_kl": total_kl,
+            "idv_kls": idv_kls}
+
+
+def _head_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+               example_mask: jnp.ndarray) -> jnp.ndarray:
+    """BCE-with-logits for 1-dim heads (float targets), CE otherwise
+    (reference Discriminator.compute_loss, model.py:199-202)."""
+    if logits.shape[-1] == 1:
+        t = targets.astype(logits.dtype)[:, None]
+        per_ex = jnp.maximum(logits, 0) - logits * t + jnp.log1p(
+            jnp.exp(-jnp.abs(logits)))
+        return _masked_mean(per_ex[:, 0], example_mask)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per_ex = -jnp.take_along_axis(
+        logp, targets[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    return _masked_mean(per_ex, example_mask)
+
+
+def _head_accuracy(logits: jnp.ndarray, targets: jnp.ndarray,
+                   example_mask: jnp.ndarray) -> jnp.ndarray:
+    if logits.shape[-1] == 1:
+        preds = (jax.nn.sigmoid(logits[:, 0]) > 0.5).astype(jnp.int32)
+    else:
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    correct = (preds == targets.astype(jnp.int32)).astype(jnp.float32)
+    return _masked_mean(correct, example_mask)
+
+
+def compute_discriminator_losses(cfg: ModelConfig,
+                                 dsc_logits: Dict[str, jnp.ndarray],
+                                 labels: Dict[str, jnp.ndarray],
+                                 example_mask: jnp.ndarray) -> Dict:
+    """Per-head loss + accuracy, summed total (reference losses.py:180-196)."""
+    idv_losses, idv_accs = {}, {}
+    total = 0.0
+    for name in cfg.dsc_names:
+        loss = _head_loss(dsc_logits[name], labels[name], example_mask)
+        idv_losses[name] = loss
+        idv_accs[name] = _head_accuracy(dsc_logits[name], labels[name],
+                                        example_mask)
+        total = total + loss
+    return {"total_dsc_loss": total,
+            "idv_dsc_losses": idv_losses,
+            "idv_dsc_accs": idv_accs}
+
+
+def adversarial_entropy_loss(logits: jnp.ndarray,
+                             example_mask: jnp.ndarray) -> jnp.ndarray:
+    """Negated entropy of the adversary's prediction, to be *minimized* by
+    the main model (maximizing entropy). Exact reference semantics
+    (model.py:247-258): sigmoid heads use -p*log(p) only; probs clamped."""
+    if logits.shape[-1] == 1:
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.clip(probs, 1e-8, 1.0 - 1e-8)
+    H = -(probs * jnp.log(probs)).sum(axis=1)             # [B]
+    return -_masked_mean(H, example_mask)
+
+
+def compute_adversarial_losses(cfg: ModelConfig,
+                               adv_logits: Dict[str, jnp.ndarray],
+                               adv_logits_detached: Dict[str, jnp.ndarray],
+                               labels: Dict[str, jnp.ndarray],
+                               example_mask: jnp.ndarray) -> Dict:
+    """Entropy losses (into the main objective) + CE losses over detached z
+    (for the adversaries' own update) (reference losses.py:199-223).
+
+    adv_logits: heads applied to live z (grad flows to encoder).
+    adv_logits_detached: heads applied to stop_gradient(z) (grads flow only
+    to adversary weights) -- the reference's detached second forward
+    (model.py:229-237).
+    """
+    idv_adv_losses, idv_dsc_losses, idv_dsc_accs = {}, {}, {}
+    total_adv = 0.0
+    total_adv_dsc = 0.0
+    for ln, lab in cfg.adv_pairs:
+        name = f"{ln}-{lab}"
+        adv_loss = adversarial_entropy_loss(adv_logits[name], example_mask)
+        idv_adv_losses[name] = adv_loss
+        total_adv = total_adv + adv_loss
+        dsc_loss = _head_loss(adv_logits_detached[name], labels[lab],
+                              example_mask)
+        idv_dsc_losses[name] = dsc_loss
+        total_adv_dsc = total_adv_dsc + dsc_loss
+        idv_dsc_accs[name] = _head_accuracy(adv_logits[name], labels[lab],
+                                            example_mask)
+    return {"total_adv_loss": total_adv,
+            "idv_adv_losses": idv_adv_losses,
+            "idv_adv_dsc_losses": idv_dsc_losses,
+            "total_adv_dsc_loss": total_adv_dsc,
+            "idv_adv_dsc_accs": idv_dsc_accs}
+
+
+def compute_mi_losses(cfg: ModelConfig, mi_params: Dict,
+                      latent_params: Dict[str, LatentParams],
+                      example_mask: jnp.ndarray, beta) -> Dict:
+    """CLUB MI estimates, scaled by beta, summed (reference
+    losses.py:226-242). Gradients flow into z (and hence the encoder);
+    pass stop_gradient(mi_params) for the main objective."""
+    idv = {}
+    total = 0.0
+    for a, b in cfg.mi_pairs:
+        name = f"{a}-{b}"
+        est = club_mi_estimate(mi_params[name], latent_params[a].z,
+                               latent_params[b].z, example_mask) * beta
+        idv[name] = est
+        total = total + est
+    return {"total_mi": total, "idv_mi_estimates": idv}
+
+
+def compute_mi_learning_losses(cfg: ModelConfig, mi_params: Dict,
+                               zs_detached: Dict[str, jnp.ndarray],
+                               example_mask: jnp.ndarray) -> Dict:
+    """Per-estimator -loglikelihood on detached z (reference run.py:264-276,
+    losses.py:69-74). Returned per-name so per-estimator grad clipping can
+    mirror the reference's per-CLUB clip(1.0)."""
+    out = {}
+    for a, b in cfg.mi_pairs:
+        name = f"{a}-{b}"
+        out[name] = -club_loglikeli(mi_params[name], zs_detached[a],
+                                    zs_detached[b], example_mask)
+    return out

@@ -1,0 +1,65 @@
+"""CLUB mutual-information upper-bound estimator (Cheng et al., ICML 2020).
+
+Variational q(y|x) with two 2-layer MLP heads (mu, tanh-logvar), matching the
+reference's CLUB (vae/losses.py:10-74): forward() is the MI estimate
+(positive-pair minus marginalized-negative log densities), loglikeli() the
+unnormalized log-likelihood used for the estimator's own training. All
+reductions are mask-aware so padded batch rows do not pollute the
+marginalization over negatives.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from dvae_tpu.models.layers import linear, linear_init
+
+
+def init_club_params(key, x_dim: int, y_dim: int,
+                     hidden_size: int) -> Dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    h = hidden_size // 2
+    return {
+        "mu": {"l1": linear_init(k1, h, x_dim),
+               "l2": linear_init(k2, y_dim, h)},
+        "logvar": {"l1": linear_init(k3, h, x_dim),
+                   "l2": linear_init(k4, y_dim, h)},
+    }
+
+
+def _mu_logvar(p: Dict, x: jnp.ndarray):
+    mu = linear(jax.nn.relu(linear(x, p["mu"]["l1"])), p["mu"]["l2"])
+    lv = jnp.tanh(
+        linear(jax.nn.relu(linear(x, p["logvar"]["l1"])), p["logvar"]["l2"]))
+    return mu, lv
+
+
+def club_mi_estimate(p: Dict, x: jnp.ndarray, y: jnp.ndarray,
+                     mask: jnp.ndarray) -> jnp.ndarray:
+    """MI upper-bound estimate (reference vae/losses.py:55-67), masked.
+
+    positive = -(mu - y)^2 / 2 / exp(lv)                       [B, D]
+    negative = -mean_j (y_j - mu_i)^2 / 2 / exp(lv_i)          [B, D]
+    estimate = mean_i( sum_d positive - sum_d negative )
+    """
+    mu, lv = _mu_logvar(p, x)
+    inv_var = jnp.exp(-lv)
+    positive = -0.5 * (mu - y) ** 2 * inv_var
+    sq = (y[None, :, :] - mu[:, None, :]) ** 2          # [B_i, B_j, D]
+    wsum = jnp.einsum("ijd,j->id", sq, mask)
+    denom = jnp.maximum(mask.sum(), 1.0)
+    negative = -0.5 * (wsum / denom) * inv_var
+    per_ex = (positive - negative).sum(-1)
+    return (per_ex * mask).sum() / denom
+
+
+def club_loglikeli(p: Dict, x: jnp.ndarray, y: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalized log-likelihood of q(y|x) (reference vae/losses.py:69-74),
+    masked mean over the batch."""
+    mu, lv = _mu_logvar(p, x)
+    ll = (-(mu - y) ** 2 * jnp.exp(-lv) - lv).sum(-1)
+    return (ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)

@@ -1,0 +1,387 @@
+"""The disentangling sequence VAE as pure functions over param pytrees.
+
+Capability match for reference vae/model.py (VariationalSeq2Seq + heads),
+redesigned TPU-first:
+
+  - encoder/decoder recurrence: `lax.scan` with batched input projections
+    (see models/lstm.py) instead of per-token cuDNN calls;
+  - the autoregressive teacher-forced decode loop (reference
+    model.py:457-472, the hottest Python loop) is a single fused scan
+    carrying (h, c, prev_token) with per-step PRNG folding: the
+    teacher-forcing coin is one Bernoulli draw per timestep shared across
+    the batch (preserving model.py:463 semantics) and non-teacher-forced
+    feedback is `jax.random.categorical` (== torch.multinomial(softmax));
+  - latent reparameterization preserves the reference's exact (nonstandard)
+    convention: logvar = tanh(raw), z = mu + eps * exp(logvar) -- std is
+    exp(logvar), NOT exp(logvar/2) (model.py:390-395, quirks #1/#2). This is
+    load-bearing for MIG evaluation parity.
+  - z concat order is deterministic: named latents in config order, content
+    last (fixes quirk #8, model.py:438-441).
+
+Parameter pytree layout (see init_vae_params):
+  {"main": {enc, dec, c2p, z2h, dsc}, "adv": {...}, "mi": {...}}
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dvae_tpu.config import ModelConfig
+from dvae_tpu.models.club import init_club_params
+from dvae_tpu.models.layers import (dot, dropout, embedding_init, linear,
+                                    linear_init)
+from dvae_tpu.models.lstm import (flip_within_length, lstm_cell,
+                                  lstm_layer_init, lstm_scan)
+
+
+class LatentParams(NamedTuple):
+    z: jnp.ndarray
+    mu: jnp.ndarray
+    logvar: jnp.ndarray
+
+
+def init_vae_params(key, cfg: ModelConfig,
+                    emb_matrix: Optional[jnp.ndarray] = None
+                    ) -> Tuple[Dict, Dict]:
+    """Build the full parameter pytree and the constants pytree.
+
+    If cfg.frozen_embeddings, `emb_matrix` lives in constants (GloVe path,
+    reference model.py:19-22/66-69/128-132 freezes pretrained embeddings);
+    otherwise encoder and decoder each own a trainable embedding table.
+    """
+    keys = iter(jax.random.split(key, 64))
+    main: Dict = {}
+    constants: Dict = {}
+
+    if cfg.frozen_embeddings:
+        assert emb_matrix is not None
+        constants["embedding"] = jnp.asarray(emb_matrix, jnp.float32)
+
+    # --- Encoder ---
+    enc: Dict = {}
+    if not cfg.frozen_embeddings:
+        enc["embedding"] = embedding_init(next(keys), cfg.vocab_size,
+                                          cfg.emb_dim)
+    if not cfg.bow_encoder:
+        layers: Dict = {}
+        in_dim = cfg.emb_dim
+        ndir = 2 if cfg.bidirectional else 1
+        for l in range(cfg.enc_layers):
+            layer = {"fwd": lstm_layer_init(next(keys), in_dim,
+                                            cfg.hidden_dim)}
+            if cfg.bidirectional:
+                layer["bwd"] = lstm_layer_init(next(keys), in_dim,
+                                               cfg.hidden_dim)
+            layers[f"layer_{l}"] = layer
+            in_dim = cfg.hidden_dim * ndir
+        enc["layers"] = layers
+    main["enc"] = enc
+
+    # --- Decoder ---
+    dec: Dict = {}
+    if not cfg.frozen_embeddings:
+        dec["embedding"] = embedding_init(next(keys), cfg.vocab_size,
+                                          cfg.emb_dim)
+    dlayers: Dict = {}
+    in_dim = cfg.emb_dim
+    for l in range(cfg.dec_layers):
+        dlayers[f"layer_{l}"] = lstm_layer_init(next(keys), in_dim,
+                                                cfg.hidden_dim)
+        in_dim = cfg.hidden_dim
+    dec["layers"] = dlayers
+    dec["out"] = linear_init(next(keys), cfg.vocab_size, cfg.hidden_dim)
+    main["dec"] = dec
+
+    # --- Latent heads: context -> (mu, logvar) per latent space ---
+    main["c2p"] = {
+        name: linear_init(next(keys), 2 * dim, cfg.context_dim)
+        for name, dim in zip(cfg.latent_names, cfg.latent_dims)}
+
+    # --- z -> decoder initial (h, c) ---
+    main["z2h"] = linear_init(
+        next(keys), 2 * cfg.hidden_dim * cfg.dec_layers,
+        cfg.total_latent_dim)
+
+    # --- Discriminator heads ---
+    main["dsc"] = {
+        name: linear_init(next(keys), cfg.dsc_output_dim_of(name),
+                          cfg.latent_dim_of(name))
+        for name in cfg.dsc_names}
+
+    params: Dict = {"main": main}
+
+    # --- Adversarial heads (latent -> other label) ---
+    params["adv"] = {
+        f"{ln}-{lab}": linear_init(next(keys), cfg.dsc_output_dim_of(lab),
+                                   cfg.latent_dim_of(ln))
+        for ln, lab in cfg.adv_pairs}
+
+    # --- CLUB MI estimators per unordered latent pair ---
+    params["mi"] = {
+        f"{a}-{b}": init_club_params(next(keys), cfg.latent_dim_of(a),
+                                     cfg.latent_dim_of(b),
+                                     cfg.mi_hidden_of((a, b)))
+        for a, b in cfg.mi_pairs}
+
+    return params, constants
+
+
+def _embedding(main: Dict, constants: Dict, which: str) -> jnp.ndarray:
+    if "embedding" in constants:
+        return constants["embedding"]
+    return main[which]["embedding"]
+
+
+def encode(main: Dict, constants: Dict, cfg: ModelConfig,
+           tokens: jnp.ndarray, lengths: jnp.ndarray, key,
+           train: bool) -> jnp.ndarray:
+    """tokens [B, T] -> context [B, context_dim].
+
+    LSTM path: context is the concat of final hidden states over
+    (layer, direction) in torch's [num_layers*num_directions] order
+    (reference model.py:373-382). BOW path: masked max-pool over valid
+    positions of the embedded tokens (model.py:43-49; deviation: the
+    reference maxes over pad positions of the batch too -- we pool only
+    valid tokens so the pad embedding cannot leak into the context).
+    """
+    k_emb, key = jax.random.split(key)
+    emb = _embedding(main, constants, "enc")[tokens]        # [B, T, E]
+    emb = dropout(emb, cfg.encoder_dropout, k_emb, train)
+
+    if cfg.bow_encoder:
+        valid = (jnp.arange(tokens.shape[1])[None, :]
+                 < lengths[:, None])[..., None]
+        masked = jnp.where(valid, emb, -jnp.inf)
+        return jnp.max(masked, axis=1)
+
+    x = emb
+    finals = []
+    for l in range(cfg.enc_layers):
+        lp = main["enc"]["layers"][f"layer_{l}"]
+        outs_f, (h_f, _) = lstm_scan(lp["fwd"], x, lengths,
+                                     cfg.compute_dtype)
+        if cfg.bidirectional:
+            x_rev = flip_within_length(x, lengths)
+            outs_b, (h_b, _) = lstm_scan(lp["bwd"], x_rev, lengths,
+                                         cfg.compute_dtype)
+            outs_b = flip_within_length(outs_b, lengths)
+            outs = jnp.concatenate([outs_f, outs_b], axis=-1)
+            finals.extend([h_f, h_b])
+        else:
+            outs = outs_f
+            finals.append(h_f)
+        if l < cfg.enc_layers - 1:
+            k_d, key = jax.random.split(key)
+            outs = dropout(outs, cfg.encoder_dropout, k_d, train)
+        x = outs
+    # context: [B, num_layers * num_directions * H], layer-major
+    return jnp.concatenate(finals, axis=-1)
+
+
+def compute_latent_params(main: Dict, cfg: ModelConfig, context: jnp.ndarray,
+                          key, sample_z: bool = True
+                          ) -> Dict[str, LatentParams]:
+    """Per-latent reparameterization (reference model.py:384-398).
+
+    Preserves the exact reference convention: logvar = tanh(raw);
+    z = mu + eps * exp(logvar). `sample_z=False` gives z = mu (the
+    reference's dead eval branch, available behind config
+    `deterministic_eval_z`; default behavior keeps z stochastic always).
+    """
+    out = {}
+    for i, name in enumerate(cfg.latent_names):
+        k = jax.random.fold_in(key, i)  # stable across processes
+        h = linear(context, main["c2p"][name], cfg.compute_dtype)
+        mu, logvar = jnp.split(h, 2, axis=-1)
+        logvar = jnp.tanh(logvar)
+        if sample_z:
+            eps = jax.random.normal(k, mu.shape, mu.dtype)
+            z = mu + eps * jnp.exp(logvar)
+        else:
+            z = mu
+        out[name] = LatentParams(z=z, mu=mu, logvar=logvar)
+    return out
+
+
+def concat_z(latent_params: Dict[str, LatentParams],
+             cfg: ModelConfig) -> jnp.ndarray:
+    """Deterministic z concatenation: named latents in config order, content
+    last (fixes reference quirk #8)."""
+    return jnp.concatenate(
+        [latent_params[name].z for name in cfg.latent_names], axis=-1)
+
+
+def compute_hidden(main: Dict, cfg: ModelConfig, z: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """z -> decoder initial (h, c), each [L, B, H]
+    (reference model.py:400-411: z2hidden -> tanh -> chunk)."""
+    hidden = jnp.tanh(linear(z, main["z2h"], cfg.compute_dtype))
+    state, cell = jnp.split(hidden, 2, axis=-1)
+    B = z.shape[0]
+    L, H = cfg.dec_layers, cfg.hidden_dim
+    h = state.reshape(B, L, H).transpose(1, 0, 2)
+    c = cell.reshape(B, L, H).transpose(1, 0, 2)
+    return h, c
+
+
+def decoder_step(main: Dict, constants: Dict, cfg: ModelConfig,
+                 token: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+                 key, train: bool
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder step: embed -> dropout -> L-layer LSTM -> vocab logits.
+
+    Matches the reference per-token decoder call (model.py:152-165): fresh
+    dropout masks per step on the embedded input and between LSTM layers.
+    Returns (logits [B, V], h', c').
+    """
+    k_emb, key = jax.random.split(key)
+    x = _embedding(main, constants, "dec")[token]          # [B, E]
+    x = dropout(x, cfg.decoder_dropout, k_emb, train)
+    new_h, new_c = [], []
+    for l in range(cfg.dec_layers):
+        p = main["dec"]["layers"][f"layer_{l}"]
+        x_proj = dot(x, p["w_ih"], cfg.compute_dtype) + (
+            p["b_ih"] + p["b_hh"])
+        h_l, c_l = lstm_cell(p, x_proj, h[l], c[l], cfg.compute_dtype)
+        new_h.append(h_l)
+        new_c.append(c_l)
+        x = h_l
+        if l < cfg.dec_layers - 1:
+            k_d, key = jax.random.split(key)
+            x = dropout(x, cfg.decoder_dropout, k_d, train)
+    logits = linear(x, main["dec"]["out"], cfg.compute_dtype)
+    return logits, jnp.stack(new_h), jnp.stack(new_c)
+
+
+def _sos_first_step(cfg: ModelConfig, B: int, T: int):
+    """Position 0 is hardcoded SOS: logits one-hot value 1.0 at sos_idx,
+    prediction = sos (reference model.py:452-456)."""
+    logits0 = jnp.zeros((B, cfg.vocab_size)).at[:, cfg.sos_idx].set(1.0)
+    preds0 = jnp.full((B,), cfg.sos_idx, dtype=jnp.int32)
+    return logits0, preds0
+
+
+def decode_teacher_forced(main: Dict, constants: Dict, cfg: ModelConfig,
+                          z: jnp.ndarray, inputs: jnp.ndarray, key,
+                          tf_prob, train: bool
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused autoregressive decode with per-step teacher forcing.
+
+    `inputs` are the same (possibly noisy) tokens fed to the encoder -- the
+    reference teacher-forces on them, not on the clean targets
+    (model.py:463-466 with run.py:227 passing in_Xbatch). Returns
+    (logits [B, T, V], predictions [B, T]); predictions at step t record the
+    token *fed to* step t+1, teacher token included (model.py:472).
+    """
+    B, T = inputs.shape
+    h, c = compute_hidden(main, cfg, z)
+    prev0 = jnp.full((B,), cfg.sos_idx, dtype=inputs.dtype)
+
+    def step(carry, t):
+        h, c, prev = carry
+        kt = jax.random.fold_in(key, t)
+        k_step, k_tf, k_samp = jax.random.split(kt, 3)
+        logits_t, h, c = decoder_step(main, constants, cfg, prev, h, c,
+                                      k_step, train)
+        coin = jax.random.bernoulli(k_tf, tf_prob)  # one coin per timestep
+        teacher = jax.lax.dynamic_index_in_dim(
+            inputs, t, axis=1, keepdims=False)
+        sampled = jax.random.categorical(k_samp, logits_t).astype(
+            inputs.dtype)
+        nxt = jnp.where(coin, teacher, sampled)
+        return (h, c, nxt), (logits_t, nxt)
+
+    (_, _, _), (logits_seq, preds_seq) = jax.lax.scan(
+        step, (h, c, prev0), jnp.arange(1, T))
+    logits0, preds0 = _sos_first_step(cfg, B, T)
+    logits = jnp.concatenate(
+        [logits0[:, None, :], jnp.swapaxes(logits_seq, 0, 1)], axis=1)
+    preds = jnp.concatenate(
+        [preds0[:, None].astype(inputs.dtype),
+         jnp.swapaxes(preds_seq, 0, 1)], axis=1)
+    return logits, preds
+
+
+def sample(main: Dict, constants: Dict, cfg: ModelConfig, z: jnp.ndarray,
+           key, max_length: int = 30, train: bool = False
+           ) -> Dict[str, jnp.ndarray]:
+    """Free-running sampling from z (reference model.py:484-512): always
+    multinomial, fixed max_length (default 30)."""
+    B = z.shape[0]
+    h, c = compute_hidden(main, cfg, z)
+    prev0 = jnp.full((B,), cfg.sos_idx, dtype=jnp.int32)
+
+    def step(carry, t):
+        h, c, prev = carry
+        kt = jax.random.fold_in(key, t)
+        k_step, k_samp = jax.random.split(kt)
+        logits_t, h, c = decoder_step(main, constants, cfg, prev, h, c,
+                                      k_step, train)
+        nxt = jax.random.categorical(k_samp, logits_t).astype(jnp.int32)
+        return (h, c, nxt), (logits_t, nxt)
+
+    _, (logits_seq, preds_seq) = jax.lax.scan(
+        step, (h, c, prev0), jnp.arange(1, max_length))
+    logits0, preds0 = _sos_first_step(cfg, B, max_length)
+    logits = jnp.concatenate(
+        [logits0[:, None, :], jnp.swapaxes(logits_seq, 0, 1)], axis=1)
+    preds = jnp.concatenate(
+        [preds0[:, None], jnp.swapaxes(preds_seq, 0, 1)], axis=1)
+    return {"decoder_logits": logits, "token_predictions": preds}
+
+
+def discriminator_logits(main: Dict, cfg: ModelConfig,
+                         latent_params: Dict[str, LatentParams]
+                         ) -> Dict[str, jnp.ndarray]:
+    return {name: linear(latent_params[name].z, main["dsc"][name],
+                         cfg.compute_dtype)
+            for name in cfg.dsc_names}
+
+
+def adversary_logits(adv: Dict, cfg: ModelConfig,
+                     zs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Adversary heads applied to (possibly stop-gradiented) z values.
+    zs: {latent_name: z}."""
+    out = {}
+    for ln, lab in cfg.adv_pairs:
+        name = f"{ln}-{lab}"
+        out[name] = linear(zs[ln], adv[name], cfg.compute_dtype)
+    return out
+
+
+def predict_from_logits(logits: jnp.ndarray) -> jnp.ndarray:
+    """Hard predictions (reference Discriminator.predict, model.py:204-210):
+    sigmoid > 0.5 for 1-dim heads, argmax otherwise."""
+    if logits.shape[-1] == 1:
+        return (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.int32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def forward(params: Dict, constants: Dict, cfg: ModelConfig,
+            inputs: jnp.ndarray, lengths: jnp.ndarray, key,
+            tf_prob, train: bool, sample_z: bool = True) -> Dict:
+    """Full model forward (reference VariationalSeq2Seq.forward,
+    model.py:413-482). Adversary parameters are consumed as given -- wrap
+    them in stop_gradient at the call site to control the gradient topology.
+    """
+    k_enc, k_lat, k_dec = jax.random.split(key, 3)
+    context = encode(params["main"], constants, cfg, inputs, lengths,
+                     k_enc, train)
+    latent_params = compute_latent_params(params["main"], cfg, context,
+                                          k_lat, sample_z=sample_z)
+    dsc_logits = discriminator_logits(params["main"], cfg, latent_params)
+    zs = {name: latent_params[name].z for name in cfg.latent_names}
+    adv_logits = adversary_logits(params["adv"], cfg, zs) \
+        if cfg.adversarial_loss else {}
+    z = concat_z(latent_params, cfg)
+    logits, preds = decode_teacher_forced(
+        params["main"], constants, cfg, z, inputs, k_dec, tf_prob, train)
+    return {"decoder_logits": logits,
+            "latent_params": latent_params,
+            "dsc_logits": dsc_logits,
+            "adv_logits": adv_logits,
+            "token_predictions": preds,
+            "context": context}

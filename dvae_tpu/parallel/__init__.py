@@ -1,0 +1,4 @@
+from dvae_tpu.parallel.mesh import (MeshPlan, make_mesh_plan, shard_batch,
+                                    replicate)
+
+__all__ = ["MeshPlan", "make_mesh_plan", "shard_batch", "replicate"]

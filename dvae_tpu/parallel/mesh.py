@@ -1,0 +1,61 @@
+"""Device mesh + sharding plan.
+
+The reference is single-device (run.py:24-29, SURVEY.md section 2.5); the
+TPU-native scaling story is SPMD data parallelism over ICI: a 1-D ('data',)
+mesh, batch sharded on 'data', parameters/optimizer state replicated, with
+XLA inserting the gradient psum. The mesh is declared 2-D ('data', 'model')
+with model=1 by default so a tensor-parallel axis can be enabled without
+changing call sites (the vocab-sized decoder projection is the natural
+candidate).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass
+class MeshPlan:
+    mesh: Mesh
+    batch_spec: P
+    replicated_spec: P
+
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape["data"]
+
+    def batch_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.batch_spec)
+
+    def replicated_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.replicated_spec)
+
+
+def make_mesh_plan(n_data: Optional[int] = None,
+                   n_model: int = 1,
+                   devices=None) -> MeshPlan:
+    """Build a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    use = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    mesh = Mesh(use, axis_names=("data", "model"))
+    return MeshPlan(mesh=mesh, batch_spec=P("data"), replicated_spec=P())
+
+
+def shard_batch(plan: MeshPlan, tree):
+    """Place a pytree of batch arrays with the leading axis sharded over
+    'data'. Works for [B] and [B, ...] leaves."""
+    sh = plan.batch_sharding()
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(plan: MeshPlan, tree):
+    sh = plan.replicated_sharding()
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

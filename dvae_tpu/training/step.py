@@ -1,0 +1,266 @@
+"""The fused training/eval steps: one XLA program per step.
+
+The reference performs, per batch, a Python-orchestrated sequence of a
+forward, a main backward (retain_graph), one backward per adversary, a main
+optimizer step, one backward+step per CLUB estimator, and a SECOND full
+forward for the autoencoding drift metric (run.py:197-344). Here that whole
+structure compiles into a single jitted step:
+
+  - three gradient computations with the detachment topology encoded via
+    stop_gradient (SURVEY.md section 7 "gradient-flow semantics"):
+      main:  recon + weighted_kl + dsc + adv_entropy(stop_grad(adv_params))
+             + beta * MI(stop_grad(mi_params))        -> encoder/decoder/
+             heads/z2hidden/c2p (adversaries excluded, model.py:368-371)
+      adv:   CE(adv(stop_grad(z)), y)                 -> adversary weights
+             only (model.py:229-245)
+      mi:    -loglikeli(stop_grad(z1), stop_grad(z2)) -> CLUB weights only
+             (run.py:264-276)
+  - three optimizer groups (optax): main Adam(learn_rate) with global clip
+    5.0 (run.py:255, 575); adversary Adam(3e-4) (model.py:226); CLUB
+    Adam(5e-4) with per-estimator clip 1.0 (losses.py:42-48)
+  - the autoencoding drift metric re-encodes the step's token predictions
+    with the UPDATED main params (reference order: optimizer.step() precedes
+    the second forward, run.py:261 vs 285-289). Only the encoder+latent
+    part is computed -- the decode half of the reference's second forward
+    never influences the metric.
+
+Everything is batch-sharded over the 'data' mesh axis; XLA inserts the
+gradient all-reduce (params replicated).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dvae_tpu.config import ModelConfig
+from dvae_tpu import losses as L
+from dvae_tpu.models.vae import (adversary_logits, compute_latent_params,
+                                 concat_z, encode, forward)
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]          # {"main", "adv", "mi"}
+    opt_main: Any
+    opt_adv: Any
+    opt_mi: Any
+    step: jnp.ndarray               # int32 scalar
+    rng: jnp.ndarray                # base PRNG key; per-step keys fold in step
+
+
+def make_optimizers(learn_rate: float):
+    """The three reference optimizer groups."""
+    opt_main = optax.chain(optax.clip_by_global_norm(5.0),
+                           optax.adam(learn_rate))
+    opt_adv = optax.adam(3e-4)
+    opt_mi = optax.adam(5e-4)  # clip(1.0) applied per estimator, see below
+    return opt_main, opt_adv, opt_mi
+
+
+def create_train_state(params: Dict, learn_rate: float, seed: int
+                       ) -> TrainState:
+    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate)
+    return TrainState(
+        params=params,
+        opt_main=opt_main.init(params["main"]),
+        opt_adv=opt_adv.init(params["adv"]),
+        opt_mi=opt_mi.init(params["mi"]),
+        step=jnp.asarray(0, jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def kl_weight_vector(cfg: ModelConfig, lambdas: Dict[str, Any],
+                     cyclic_value: float) -> np.ndarray:
+    """Resolve the per-latent KL weight vector (aligned with
+    cfg.latent_names) from the config's `lambdas` dict, substituting
+    `cyclic_value` for the "cyclic" sentinel (reference run.py:230-236,
+    losses.py:170-174)."""
+    out = []
+    for name in cfg.latent_names:
+        w = lambdas.get(name, lambdas.get("default"))
+        if w == "cyclic":
+            w = cyclic_value
+        out.append(float(w))
+    return np.asarray(out, np.float32)
+
+
+def _per_estimator_clip(grads: Dict, max_norm: float = 1.0) -> Dict:
+    """clip_grad_norm_(1.0) per CLUB estimator (reference losses.py:44-48)."""
+    def clip_tree(tree):
+        leaves = jax.tree.leaves(tree)
+        norm = jnp.sqrt(sum(jnp.sum(x ** 2) for x in leaves))
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+        return jax.tree.map(lambda x: x * scale, tree)
+    return {name: clip_tree(sub) for name, sub in grads.items()}
+
+
+def _all_losses(cfg: ModelConfig, params: Dict, constants: Dict, batch: Dict,
+                key, tf_prob, kl_weights_vec, mi_weight, train: bool):
+    """Forward + the five loss families (reference compute_all_losses,
+    run.py:128-163). Detachment topology for the *main* objective is baked
+    in: adversary and CLUB parameters are consumed behind stop_gradient."""
+    mask = batch["example_mask"]
+    shielded = {"main": params["main"],
+                "adv": jax.lax.stop_gradient(params["adv"]),
+                "mi": jax.lax.stop_gradient(params["mi"])}
+    out = forward(shielded, constants, cfg, batch["noisy_X"],
+                  batch["lengths"], key, tf_prob, train=train)
+    lp = out["latent_params"]
+
+    kl_weights = {name: kl_weights_vec[i]
+                  for i, name in enumerate(cfg.latent_names)}
+    metrics: Dict[str, Any] = {}
+    recon = L.reconstruction_loss(batch["X"], out["decoder_logits"],
+                                  batch["lengths"], mask)
+    metrics["reconstruction_loss"] = recon
+
+    kl = L.compute_kl_divergence_losses(cfg, lp, kl_weights, mask)
+    metrics.update({"total_weighted_kl": kl["total_weighted_kl"],
+                    "total_kl": kl["total_kl"], "idv_kls": kl["idv_kls"]})
+
+    dsc = L.compute_discriminator_losses(cfg, out["dsc_logits"],
+                                         batch["labels"], mask)
+    metrics.update({k: dsc[k] for k in
+                    ("total_dsc_loss", "idv_dsc_losses", "idv_dsc_accs")})
+
+    total = recon + kl["total_weighted_kl"] + dsc["total_dsc_loss"]
+
+    if cfg.adversarial_loss:
+        zs_det = {n: jax.lax.stop_gradient(lp[n].z)
+                  for n in cfg.latent_names}
+        adv_logits_det = adversary_logits(
+            jax.lax.stop_gradient(params["adv"]), cfg, zs_det)
+        adv = L.compute_adversarial_losses(
+            cfg, out["adv_logits"], adv_logits_det, batch["labels"], mask)
+        metrics.update({k: adv[k] for k in
+                        ("total_adv_loss", "idv_adv_losses",
+                         "idv_adv_dsc_losses", "idv_adv_dsc_accs")})
+        total = total + adv["total_adv_loss"]
+    else:
+        metrics["total_adv_loss"] = jnp.asarray(0.0)
+
+    if cfg.mi_loss:
+        mi = L.compute_mi_losses(cfg, jax.lax.stop_gradient(params["mi"]),
+                                 lp, mask, mi_weight)
+        metrics.update({"total_mi": mi["total_mi"],
+                        "idv_mi_estimates": mi["idv_mi_estimates"]})
+        total = total + mi["total_mi"]
+    else:
+        metrics["total_mi"] = jnp.asarray(0.0)
+
+    metrics["total_loss"] = total
+    return total, (metrics, out)
+
+
+def _latents_out(cfg: ModelConfig, lp) -> Dict[str, Dict[str, jnp.ndarray]]:
+    return {name: {"z": lp[name].z, "mu": lp[name].mu,
+                   "logvar": lp[name].logvar}
+            for name in cfg.latent_names}
+
+
+def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float):
+    """Build the fused, jittable train step.
+
+    Signature: step(state, batch, kl_weights_vec, tf_prob, mi_weight)
+      -> (new_state, metrics, latents, token_predictions)
+    """
+    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate)
+
+    def train_step(state: TrainState, batch: Dict, kl_weights_vec,
+                   tf_prob, mi_weight):
+        key = jax.random.fold_in(state.rng, state.step)
+        k_fwd, k_ae = jax.random.split(key)
+        mask = batch["example_mask"]
+
+        # ---- main gradients (adv/mi params shielded inside) ----
+        def main_loss(main_params):
+            p = {"main": main_params, "adv": state.params["adv"],
+                 "mi": state.params["mi"]}
+            return _all_losses(cfg, p, constants, batch, k_fwd, tf_prob,
+                               kl_weights_vec, mi_weight, train=True)
+
+        (_, (metrics, out)), g_main = jax.value_and_grad(
+            main_loss, has_aux=True)(state.params["main"])
+        upd_main, opt_main_state = opt_main.update(
+            g_main, state.opt_main, state.params["main"])
+        new_main = optax.apply_updates(state.params["main"], upd_main)
+
+        lp = out["latent_params"]
+        zs_det = {n: jax.lax.stop_gradient(lp[n].z) for n in cfg.latent_names}
+
+        # ---- adversary gradients: CE over detached z ----
+        if cfg.adversarial_loss:
+            def adv_loss(adv_params):
+                logits = adversary_logits(adv_params, cfg, zs_det)
+                tot = 0.0
+                for ln, lab in cfg.adv_pairs:
+                    tot = tot + L._head_loss(logits[f"{ln}-{lab}"],
+                                             batch["labels"][lab], mask)
+                return tot
+            g_adv = jax.grad(adv_loss)(state.params["adv"])
+            upd_adv, opt_adv_state = opt_adv.update(
+                g_adv, state.opt_adv, state.params["adv"])
+            new_adv = optax.apply_updates(state.params["adv"], upd_adv)
+        else:
+            new_adv, opt_adv_state = state.params["adv"], state.opt_adv
+
+        # ---- CLUB gradients: -loglikeli over detached z ----
+        if cfg.mi_loss:
+            def mi_loss(mi_params):
+                per = L.compute_mi_learning_losses(cfg, mi_params, zs_det,
+                                                   mask)
+                return sum(per.values()), per
+            (_, mi_per), g_mi = jax.value_and_grad(
+                mi_loss, has_aux=True)(state.params["mi"])
+            g_mi = _per_estimator_clip(g_mi, 1.0)
+            upd_mi, opt_mi_state = opt_mi.update(
+                g_mi, state.opt_mi, state.params["mi"])
+            new_mi = optax.apply_updates(state.params["mi"], upd_mi)
+            metrics["mi_estimator_loss"] = mi_per
+        else:
+            new_mi, opt_mi_state = state.params["mi"], state.opt_mi
+
+        # ---- autoencoding drift: re-encode predictions w/ updated params
+        #      (reference run.py:285-295; encode-only is sufficient) ----
+        x_prime = out["token_predictions"]
+        ctx2 = encode(new_main, constants, cfg, x_prime, batch["lengths"],
+                      jax.random.fold_in(k_ae, 1), train=True)
+        lp2 = compute_latent_params(new_main, cfg, ctx2,
+                                    jax.random.fold_in(k_ae, 2))
+        denom = jnp.maximum(mask.sum(), 1.0)
+        metrics["idv_ae"] = {
+            n: (jnp.linalg.norm(lp2[n].z - lp[n].z, axis=1) * mask).sum()
+            / denom
+            for n in cfg.latent_names}
+
+        new_state = TrainState(
+            params={"main": new_main, "adv": new_adv, "mi": new_mi},
+            opt_main=opt_main_state, opt_adv=opt_adv_state,
+            opt_mi=opt_mi_state,
+            step=state.step + 1, rng=state.rng)
+        return new_state, metrics, _latents_out(cfg, lp), x_prime
+
+    return train_step
+
+
+def make_eval_step(cfg: ModelConfig, constants: Dict):
+    """Fused eval step (reference evalstep, run.py:347-423): tf_prob=0,
+    dropout off, losses still include adversary/MI terms, z still sampled
+    (quirk #1 preserved unless sample_z is disabled upstream)."""
+
+    def eval_step(state: TrainState, batch: Dict, kl_weights_vec, mi_weight,
+                  eval_seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), eval_seed)
+        key = jax.random.fold_in(key, state.step)
+        total, (metrics, out) = _all_losses(
+            cfg, state.params, constants, batch, key,
+            jnp.asarray(0.0), kl_weights_vec, mi_weight, train=False)
+        return metrics, _latents_out(cfg, out["latent_params"]), \
+            out["token_predictions"]
+
+    return eval_step
