@@ -65,6 +65,13 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     "max_sequence_length": (int, -1),  # -1: derive from data
     "log_tensorboard": (bool, True),
     "note": (str, ""),  # reproduction configs carry a free-text note field
+    # Adversary gradient mode. "reference": adversary weights are updated by
+    # CE + the negated-entropy gradient, reproducing the reference's
+    # unzeroed grad accumulation (total_loss.backward() at run.py:254
+    # deposits dH into adversary weights; AdversarialDiscriminator.
+    # optimizer_step at model.py:239-245 backwards CE on top WITHOUT
+    # zeroing, so Adam steps on dCE + dH). "clean": CE only.
+    "adv_grad_mode": (str, "reference"),
 }
 
 
@@ -160,6 +167,7 @@ class ModelConfig:
     frozen_embeddings: bool
     compute_dtype: str = "float32"
     max_length: int = 32
+    adv_grad_mode: str = "reference"  # see OPTIONAL_SCHEMA["adv_grad_mode"]
 
     @property
     def total_latent_dim(self) -> int:
@@ -256,4 +264,5 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         frozen_embeddings=frozen_embeddings,
         compute_dtype=params.get("compute_dtype", "float32"),
         max_length=max_length,
+        adv_grad_mode=params.get("adv_grad_mode", "reference"),
     )

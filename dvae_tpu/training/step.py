@@ -193,14 +193,21 @@ def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float):
         lp = out["latent_params"]
         zs_det = {n: jax.lax.stop_gradient(lp[n].z) for n in cfg.latent_names}
 
-        # ---- adversary gradients: CE over detached z ----
+        # ---- adversary gradients: CE over detached z, plus (in
+        # "reference" mode) the negated-entropy gradient the reference
+        # leaks into adversary weights via unzeroed grad accumulation
+        # (run.py:254 + model.py:239-245; see config.adv_grad_mode) ----
         if cfg.adversarial_loss:
             def adv_loss(adv_params):
                 logits = adversary_logits(adv_params, cfg, zs_det)
                 tot = 0.0
                 for ln, lab in cfg.adv_pairs:
-                    tot = tot + L._head_loss(logits[f"{ln}-{lab}"],
+                    name = f"{ln}-{lab}"
+                    tot = tot + L._head_loss(logits[name],
                                              batch["labels"][lab], mask)
+                    if cfg.adv_grad_mode == "reference":
+                        tot = tot + L.adversarial_entropy_loss(logits[name],
+                                                               mask)
                 return tot
             g_adv = jax.grad(adv_loss)(state.params["adv"])
             upd_adv, opt_adv_state = opt_adv.update(
