@@ -1,0 +1,445 @@
+"""Experiment driver: config -> data -> fused steps -> artifacts.
+
+Behavioral match for the reference runner (run.py:426-655): same CLI
+semantics (`python run.py config.json [--verbose]`), same artifact contract
+(SURVEY.md section 1), same epoch choreography (train -> train recon log ->
+dev eval -> dev recon log -> checkpoint; KeyboardInterrupt keeps the latest
+checkpoint; final validate/test passes).
+
+TPU-first differences in the hot path:
+  - one jitted train step per batch (all losses + all three optimizer
+    groups fused; see training/step.py), batch-sharded over the 'data'
+    mesh axis;
+  - per-step host work is deferred: metrics/latents/predictions are
+    collected as device arrays and transferred once per epoch, so the
+    device never stalls on logging (the reference synced per batch --
+    run.py:279-300);
+  - the per-step cyclic KL weight is computed host-side into a tiny vector
+    argument, so schedule changes never trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvae_tpu.config import build_model_config, load_config
+from dvae_tpu.data import (BatchPipeline, DenoisingTextDataset,
+                           RatioBatchSampler, ShuffleBatchSampler,
+                           build_vocab, encode_labels, fit_label_codecs,
+                           get_sentences_labels, load_vocab,
+                           preprocess_sentences, reverse_sentences,
+                           save_vocab)
+from dvae_tpu.data.glove import get_embedding_matrix, load_glove
+from dvae_tpu.data.pipeline import collate
+from dvae_tpu.data.vocab import make_word2idx
+from dvae_tpu.data.text import SOS, EOS, PAD, UNK
+from dvae_tpu.models import forward, init_vae_params
+from dvae_tpu.parallel import make_mesh_plan, replicate, shard_batch
+from dvae_tpu.training.checkpoint import (load_latest_checkpoint,
+                                          save_checkpoint)
+from dvae_tpu.training.logging import (LossLogger, ScalarWriter,
+                                       append_reconstructions, log_params)
+from dvae_tpu.training.step import (create_train_state, kl_weight_vector,
+                                    make_eval_step, make_train_step)
+from dvae_tpu.utils import compute_bleu, set_seed, tensor2text
+from dvae_tpu.losses import get_cyclic_kl_weight
+
+
+class Experiment:
+    """Everything a training/eval/inference session needs, built once from a
+    config file. Reused by the driver, the REPL (inspect_model) and the
+    model-reloading evaluation scripts."""
+
+    def __init__(self, params: Dict, require_vocab_file: bool = False):
+        self.params = params
+        set_seed(params["random_seed"])
+        import random as _random
+        self._shuffle_rng = _random.Random(params["random_seed"])
+
+        self.logdir = os.path.join("logs", params["name"])
+        os.makedirs(self.logdir, exist_ok=True)
+        self.ckpt_dir = os.path.join(params["checkpoint_dir"],
+                                     params["name"])
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+        label_keys = [k for k in params["latent_dims"] if k != "total"]
+        if params.get("combined_dataset"):
+            label_keys = label_keys + ["source_dataset"]
+        self.label_keys = label_keys
+
+        # --- read the three splits (reference run.py:461-489) ---
+        dd = params["data_dir"]
+        self.splits: Dict[str, Dict] = {}
+        train = self._read_split(os.path.join(dd, "train.jsonl"),
+                                 N=params["num_train_examples"])
+        self.splits["train"] = train
+        for name in ("dev", "test"):
+            p = os.path.join(dd, f"{name}.jsonl")
+            if os.path.exists(p):
+                self.splits[name] = self._read_split(p)
+
+        # --- label codecs: fit on train, reused (fixes quirk #3) ---
+        self.codecs = fit_label_codecs(train["labels"])
+
+        # --- vocabulary (reference run.py:492-504) ---
+        vocab_path = os.path.join(self.logdir, "vocab.txt")
+        if params["train"] and not require_vocab_file:
+            self.vocab = build_vocab(train["docs"])
+            save_vocab(self.vocab, vocab_path)
+        else:
+            self.vocab = load_vocab(vocab_path)
+        self.word2idx = make_word2idx(self.vocab)
+
+        # --- input noising (reference run.py:506-513) ---
+        for split in self.splits.values():
+            split["noisy_docs"] = (reverse_sentences(split["docs"])
+                                   if params["reverse_input"]
+                                   else split["docs"])
+
+        # --- GloVe (reference run.py:515-523) ---
+        self.emb_matrix = None
+        frozen = False
+        if params["glove_path"]:
+            glove, _ = load_glove(params["glove_path"])
+            self.emb_matrix, self.word2idx = get_embedding_matrix(
+                self.vocab, glove)
+            frozen = True
+        self.idx2word = {i: w for w, i in self.word2idx.items()}
+
+        # --- datasets, padded to ONE global max length so the train step
+        #     compiles exactly once (vs the reference's per-batch padding)
+        max_len = params.get("max_sequence_length", -1)
+        if max_len <= 0:
+            max_len = max(len(d) for s in self.splits.values()
+                          for d in s["docs"])
+        self.max_length = max_len
+        self.datasets: Dict[str, DenoisingTextDataset] = {}
+        for name, split in self.splits.items():
+            self.datasets[name] = DenoisingTextDataset(
+                split["noisy_docs"], split["docs"], split["labels"],
+                split["ids"], self.word2idx, self.codecs,
+                max_length=max_len)
+
+        # --- model ---
+        self.cfg = build_model_config(
+            params, len(self.vocab), self.datasets["train"].y_dims,
+            sos_idx=self.word2idx[SOS], eos_idx=self.word2idx[EOS],
+            max_length=max_len, frozen_embeddings=frozen)
+        key = jax.random.PRNGKey(params["random_seed"])
+        self.init_params, self.constants = init_vae_params(
+            key, self.cfg, emb_matrix=self.emb_matrix)
+
+        # --- mesh / sharding ---
+        n_data = params.get("num_data_shards", 1)
+        avail = len(jax.devices())
+        if n_data <= 0 or n_data > avail:
+            n_data = avail
+        if params["batch_size"] % n_data != 0:
+            raise ValueError(
+                f"batch_size {params['batch_size']} not divisible by "
+                f"data shards {n_data}")
+        self.plan = make_mesh_plan(n_data=n_data)
+        self.constants = replicate(self.plan, self.constants)
+
+    def _read_split(self, path: str, N: int = -1) -> Dict:
+        sents, labels, ids, counts = get_sentences_labels(
+            path, label_keys=self.label_keys, N=N, shuffle=True,
+            rng=self._shuffle_rng)
+        docs = preprocess_sentences(sents, SOS, EOS,
+                                    lowercase=self.params["lowercase"])
+        return {"sentences": sents, "labels": list(labels),
+                "ids": list(ids), "counts": counts, "docs": docs}
+
+    # ---- samplers / pipelines ----
+    def train_pipeline(self) -> BatchPipeline:
+        p = self.params
+        ds = self.datasets["train"]
+        if p["combined_dataset"]:
+            sampler = RatioBatchSampler(
+                self.splits["train"]["labels"], split_key="source_dataset",
+                ratios=p["dataset_minibatch_ratios"] or None,
+                batch_size=p["batch_size"], seed=p["random_seed"])
+        else:
+            sampler = ShuffleBatchSampler(len(ds), p["batch_size"],
+                                          seed=p["random_seed"])
+        return BatchPipeline(ds, sampler, p["batch_size"])
+
+    def eval_pipeline(self, name: str) -> BatchPipeline:
+        ds = self.datasets[name]
+        sampler = ShuffleBatchSampler(len(ds), self.params["batch_size"],
+                                      seed=self.params["random_seed"] + 1)
+        return BatchPipeline(ds, sampler, self.params["batch_size"])
+
+    def device_batch(self, batch) -> Dict:
+        arrays = {"noisy_X": batch.noisy_X, "X": batch.X,
+                  "lengths": batch.lengths, "labels": batch.labels,
+                  "example_mask": batch.example_mask}
+        return shard_batch(self.plan, arrays)
+
+
+def _epoch_host_logging(loss_logger: LossLogger, collected: List[Dict],
+                        step0: int):
+    """Replay per-step metrics into the logger after the one-shot device ->
+    host transfer."""
+    for i, metrics in enumerate(collected):
+        loss_logger.update(metrics)
+        loss_logger.log_step(step0 + i)
+
+
+def _gather_latents(latents_steps: List[Dict], masks: List[np.ndarray]
+                    ) -> Dict[str, Dict[str, List[np.ndarray]]]:
+    out: Dict[str, Dict[str, List[np.ndarray]]] = {}
+    for latents, mask in zip(latents_steps, masks):
+        keep = mask.astype(bool)
+        for lname, per_param in latents.items():
+            slot = out.setdefault(lname, {})
+            for pname, arr in per_param.items():
+                slot.setdefault(pname, []).extend(np.asarray(arr)[keep])
+    return out
+
+
+def _summary_line(tag: str, epoch: int, logger: LossLogger,
+                  adversarial: bool, mi: bool, extra: str = "") -> str:
+    tl = logger.summarize("total_loss")
+    rc = logger.summarize("reconstruction_loss")
+    kl = logger.summarize("total_kl")
+    ds = logger.summarize("total_dsc_loss")
+    s = (f"{tag} ({epoch}) TOTAL: {tl[0]:.4f} +/- {tl[1]:.4f}"
+         f" | RECON: {rc[0]:.4f} +/- {rc[1]:.4f}"
+         f" | KL: {kl[0]:.4f} +/- {kl[1]:.4f}"
+         f" | DISCRIM: {ds[0]:.4f} +/- {ds[1]:.4f}")
+    if adversarial:
+        av = logger.summarize("total_adv_loss")
+        s += f" | ADVERSE: {av[0]:.4f} +/- {av[1]:.4f}"
+    if mi:
+        mi_ = logger.summarize("total_mi")
+        s += f" | MI: {mi_[0]:.4f} +/- {mi_[1]:.4f}"
+    return s + extra
+
+
+def run(params_file: str, verbose: bool = False) -> None:
+    """Train/validate/test per the config (reference run.py:426-655)."""
+    params = load_config(params_file)
+    exp = Experiment(params)
+    cfg = exp.cfg
+
+    logfile = os.path.join(exp.logdir, "run.log")
+    print(f"Logging to {logfile}")
+    logging.basicConfig(filename=logfile, level=logging.INFO, force=True)
+    now = datetime.datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+    logging.info(f"START: {now}")
+    logging.info("PARAMETERS:")
+    for k, v in params.items():
+        logging.info(f"  {k}: {v}")
+    logging.info(f"Devices: {jax.devices()} | data shards: "
+                 f"{exp.plan.n_data}")
+    if params["train"]:
+        logging.info("Train label counts:")
+        for labname, values in exp.splits["train"]["counts"].items():
+            logging.info(f"  {labname}: {dict(values)}")
+
+    # jitted programs
+    train_step = jax.jit(make_train_step(cfg, exp.constants,
+                                         params["learn_rate"]),
+                         donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(cfg, exp.constants))
+    recon_fns = {}
+
+    def recon_fn(train_mode: bool):
+        if train_mode not in recon_fns:
+            def f(state_params, noisy_X, lengths, seed):
+                p = {"main": state_params["main"],
+                     "adv": state_params["adv"],
+                     "mi": state_params["mi"]}
+                key = jax.random.fold_in(jax.random.PRNGKey(1234), seed)
+                out = forward(p, exp.constants, cfg, noisy_X, lengths, key,
+                              jnp.asarray(0.0), train=train_mode)
+                return out["token_predictions"]
+            recon_fns[train_mode] = jax.jit(f)
+        return recon_fns[train_mode]
+
+    def log_reconstructions(state, ds_name: str, epoch: int, n: int,
+                            train_mode: bool):
+        """Reference vae/utils.py:236-263: n random examples, tf_prob=0
+        forward, append 'x' ==> 'recon' pairs. Dropout state follows the
+        reference's (train mode right after a train epoch, eval otherwise).
+        """
+        ds = exp.datasets[ds_name]
+        B = exp.params["batch_size"]
+        idxs = np.random.choice(len(ds), size=min(n, len(ds)),
+                                replace=False)
+        pairs = []
+        for c, lo in enumerate(range(0, len(idxs), B)):
+            chunk = idxs[lo:lo + B]
+            batch = collate(ds, chunk, B)
+            db = exp.device_batch(batch)
+            preds = np.asarray(recon_fn(train_mode)(
+                state.params, db["noisy_X"], db["lengths"],
+                jnp.asarray(epoch * 131 + c)))
+            for row in range(len(chunk)):
+                x_text = " ".join(tensor2text(batch.X[row], exp.idx2word,
+                                              cfg.eos_idx))
+                r_text = " ".join(tensor2text(preds[row], exp.idx2word,
+                                              cfg.eos_idx))
+                pairs.append((x_text, r_text))
+        append_reconstructions(pairs, exp.logdir, ds_name, epoch)
+
+    # training state (+ resume -- reference run.py:578-591)
+    state = create_train_state(exp.init_params, params["learn_rate"],
+                               params["random_seed"])
+    state = replicate(exp.plan, state)
+    state, start_epoch, ckpt_name = load_latest_checkpoint(
+        state, exp.ckpt_dir)
+    if ckpt_name is None:
+        logging.warning("No checkpoint found!")
+    else:
+        logging.info(f"Loaded checkpoint '{ckpt_name}'")
+
+    # config replay file (reference run.py:594-596)
+    with open(os.path.join(exp.logdir,
+                           f"config_epoch{start_epoch}.json"), "w") as f:
+        json.dump(params, f, indent=2)
+
+    writers = {}
+
+    def writer(split: str) -> ScalarWriter:
+        if split not in writers:
+            writers[split] = ScalarWriter(
+                os.path.join("runs", params["name"], split),
+                use_tensorboard=params.get("log_tensorboard", True))
+        return writers[split]
+
+    # ---------------- epoch functions ----------------
+    def trainstep_epoch(state, epoch: int, pipeline, steps_per_epoch: int,
+                        total_steps: int):
+        t0 = time.time()
+        loss_logger = LossLogger(writer("train"), epoch)
+        step0 = epoch * steps_per_epoch
+        collected, latents_steps, preds_steps = [], [], []
+        ids_all: List[str] = []
+        masks, targets = [], []
+        step = step0
+        for batch in pipeline.epoch():
+            cyc = float(get_cyclic_kl_weight(step, total_steps))
+            klw = kl_weight_vector(cfg, params["lambdas"], cyc)
+            db = exp.device_batch(batch)
+            state, metrics, latents, preds = train_step(
+                state, db, jnp.asarray(klw),
+                jnp.asarray(params["teacher_forcing_prob"]),
+                jnp.asarray(params["mi_loss_weight_train"]))
+            metrics["kl_weights"] = {
+                n: klw[i] for i, n in enumerate(cfg.latent_names)}
+            metrics["mi_loss_weight"] = params["mi_loss_weight_train"]
+            collected.append(metrics)
+            latents_steps.append(latents)
+            preds_steps.append(preds)
+            ids_all.extend(batch.ids)
+            masks.append(batch.example_mask)
+            targets.append(batch.X)
+            step += 1
+            if step - step0 == 20 and not verbose:
+                elapsed = time.time() - t0
+                est = elapsed * steps_per_epoch / 20
+                logging.info("Estimated epoch duration: "
+                             f"{datetime.timedelta(seconds=est)}")
+
+        # one-shot device -> host transfer, then replay logging
+        collected = jax.device_get(collected)
+        latents_steps = jax.device_get(latents_steps)
+        preds_steps = jax.device_get(preds_steps)
+        for i, preds in enumerate(preds_steps):
+            keep = masks[i].astype(bool)
+            bleu = compute_bleu(targets[i][keep], np.asarray(preds)[keep],
+                                exp.idx2word, cfg.eos_idx)
+            collected[i]["bleu"] = bleu
+        _epoch_host_logging(loss_logger, collected, step0)
+        loss_logger.log_epoch()
+        log_params(_gather_latents(latents_steps, masks), ids_all,
+                   exp.logdir, "train", epoch)
+        dt = str(datetime.timedelta(seconds=time.time() - t0))
+        logging.info(_summary_line(
+            "TRAIN", epoch, loss_logger, cfg.adversarial_loss, cfg.mi_loss,
+            extra=f" | Epoch time: {dt}"))
+        return state
+
+    def evalstep_epoch(state, epoch: int, name: str = "dev"):
+        loss_logger = LossLogger(writer(name), epoch)
+        pipeline = exp.eval_pipeline(name)
+        collected, latents_steps, preds_steps = [], [], []
+        ids_all, masks, targets = [], [], []
+        klw = kl_weight_vector(cfg, params["lambdas"], 1.0)  # run.py:373-376
+        for i, batch in enumerate(pipeline.epoch()):
+            db = exp.device_batch(batch)
+            metrics, latents, preds = eval_step(
+                state, db, jnp.asarray(klw),
+                jnp.asarray(params["mi_loss_weight_eval"]),
+                jnp.asarray(i))
+            collected.append(metrics)
+            latents_steps.append(latents)
+            preds_steps.append(preds)
+            ids_all.extend(batch.ids)
+            masks.append(batch.example_mask)
+            targets.append(batch.X)
+        collected = jax.device_get(collected)
+        latents_steps = jax.device_get(latents_steps)
+        preds_steps = jax.device_get(preds_steps)
+        for i, preds in enumerate(preds_steps):
+            keep = masks[i].astype(bool)
+            collected[i]["bleu"] = compute_bleu(
+                targets[i][keep], np.asarray(preds)[keep], exp.idx2word,
+                cfg.eos_idx)
+            loss_logger.update(collected[i])
+        loss_logger.log_epoch()
+        log_params(_gather_latents(latents_steps, masks), ids_all,
+                   exp.logdir, name, epoch)
+        logging.info(_summary_line(
+            name.upper(), epoch, loss_logger, cfg.adversarial_loss,
+            cfg.mi_loss))
+
+    # ---------------- main loop (reference run.py:598-651) ----------------
+    if params["train"]:
+        logging.info("TRAINING")
+        logging.info("Ctrl-C to interrupt and keep most recent model.")
+        pipeline = exp.train_pipeline()
+        steps_per_epoch = len(pipeline)
+        total_steps = params["epochs"] * steps_per_epoch
+        logging.info(f"Training examples: {len(exp.datasets['train'])}")
+        for epoch in range(start_epoch, start_epoch + params["epochs"]):
+            try:
+                state = trainstep_epoch(state, epoch, pipeline,
+                                        steps_per_epoch, total_steps)
+                log_reconstructions(state, "train", epoch, n=20,
+                                    train_mode=True)
+                if params["validate"] and "dev" in exp.datasets:
+                    evalstep_epoch(state, epoch, "dev")
+                    log_reconstructions(state, "dev", epoch, n=20,
+                                        train_mode=False)
+                logging.info(f"Saving model checkpoint to {exp.ckpt_dir}")
+                save_checkpoint(state, exp.ckpt_dir, epoch)
+                start_epoch = epoch
+            except KeyboardInterrupt:
+                logging.warning(f"Training interrupted at epoch {epoch}!")
+                break
+
+    if params["validate"] and "dev" in exp.datasets:
+        evalstep_epoch(state, start_epoch, "dev")
+        log_reconstructions(state, "dev", start_epoch, n=30,
+                            train_mode=False)
+    if params["test"] and "test" in exp.datasets:
+        evalstep_epoch(state, start_epoch, "test")
+        log_reconstructions(state, "test", start_epoch, n=30,
+                            train_mode=False)
+
+    for w in writers.values():
+        w.close()
+    now = datetime.datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+    logging.info(f"END: {now}")

@@ -1,0 +1,141 @@
+"""Experiment logging: scalar accumulator, TensorBoard/JSONL writers,
+latent-metadata logs, reconstruction logs.
+
+Artifact contract (identical to the reference, SURVEY.md section 1):
+  logs/{name}/vocab.txt
+  logs/{name}/metadata/ordered_ids/{dataset}_{epoch}.log
+  logs/{name}/metadata/{z,mu,logvar}/{dataset}_{latent}_{epoch}.log  (CSV,
+      one row per example, 4-decimal floats -- reference run.py:166-194)
+  logs/{name}/reconstructions_{dataset}.log ('x' ==> 'x_hat' per epoch,
+      reference vae/utils.py:253-262)
+  logs/{name}/config_epoch{N}.json
+  logs/{name}/run.log
+  runs/{name}/{train,dev,test}/  (TensorBoard scalars, key taxonomy
+      step_*/avg_* -- reference run.py:43-119)
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class ScalarWriter:
+    """TensorBoard writer with a JSONL fallback (torchtext/texar-free)."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=log_dir)
+            except Exception:
+                self._tb = None
+        self._jsonl_path = os.path.join(log_dir, "scalars.jsonl")
+        self._jsonl = open(self._jsonl_path, "a")
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+        self._jsonl.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+
+    def flush(self) -> None:
+        if self._tb is not None:
+            self._tb.flush()
+        self._jsonl.flush()
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        self._jsonl.close()
+
+
+class LossLogger:
+    """Nested-dict loss accumulator (reference LossLogger, run.py:43-119).
+
+    update() appends scalars (recursing into dicts); log_step writes the
+    last value per key with prefix 'step'; log_epoch writes means with
+    prefix 'avg'; summarize returns (mean, std).
+    """
+
+    def __init__(self, writer: Optional[ScalarWriter], epoch: int):
+        self.losses: Dict[str, Any] = {}
+        self.writer = writer
+        self.epoch = epoch
+
+    def update(self, d: Dict[str, Any], subdict: Optional[Dict] = None):
+        target = self.losses if subdict is None else subdict
+        for key, val in d.items():
+            if isinstance(val, dict):
+                target.setdefault(key, {})
+                self.update(val, subdict=target[key])
+            else:
+                target.setdefault(key, []).append(_to_scalar(val))
+
+    def _log(self, i: int, subdict, base_keystr: str, collapse_fn):
+        to_log = self.losses if subdict is None else subdict
+        for key, val in to_log.items():
+            keystr = f"{base_keystr}_{key}"
+            if isinstance(val, dict):
+                self._log(i, val, keystr, collapse_fn)
+            else:
+                if self.writer is not None:
+                    self.writer.add_scalar(keystr, collapse_fn(val), i)
+
+    def log_epoch(self):
+        self._log(self.epoch, None, "avg", np.mean)
+
+    def log_step(self, step: int):
+        self._log(step, None, "step", lambda v: v[-1])
+
+    def summarize(self, key: str):
+        vals = self.losses.get(key, [0.0])
+        return float(np.mean(vals)), float(np.std(vals))
+
+
+def _to_scalar(x):
+    if hasattr(x, "item"):
+        return float(np.asarray(x))
+    return float(x)
+
+
+def log_params(latent_logs: Dict[str, Dict[str, List[np.ndarray]]],
+               example_ids: Sequence[str], logdir: str, dataset_name: str,
+               epoch: int) -> None:
+    """Write the latent-parameter metadata files consumed by the evaluation
+    suite (reference run.py:166-194). latent_logs maps
+    {latent_name: {param_name: [per-example rows]}}."""
+    metadata_dir = os.path.join(logdir, "metadata")
+    ids_dir = os.path.join(metadata_dir, "ordered_ids")
+    os.makedirs(ids_dir, exist_ok=True)
+    with open(os.path.join(ids_dir, f"{dataset_name}_{epoch}.log"),
+              "w") as f:
+        for i in example_ids:
+            f.write(f"{i}\n")
+    for latent_name, per_param in latent_logs.items():
+        for param_name, rows in per_param.items():
+            param_dir = os.path.join(metadata_dir, param_name)
+            os.makedirs(param_dir, exist_ok=True)
+            path = os.path.join(
+                param_dir, f"{dataset_name}_{latent_name}_{epoch}.log")
+            with open(path, "w") as f:
+                w = csv.writer(f, delimiter=",")
+                for row in rows:
+                    w.writerow([f"{v:.4f}" for v in np.atleast_1d(row)])
+
+
+def append_reconstructions(pairs, logdir: str, name: str,
+                           epoch: int) -> None:
+    """Append `'input' ==> 'reconstruction'` lines per epoch
+    (reference vae/utils.py:253-262)."""
+    path = os.path.join(logdir, f"reconstructions_{name}.log")
+    with open(path, "a") as f:
+        f.write(f"EPOCH {epoch}\n")
+        for x, r in pairs:
+            f.write(f"'{x}' ==> '{r}'\n")

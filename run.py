@@ -1,0 +1,23 @@
+"""CLI entry point: `python run.py config.json [--verbose]`.
+
+Public interface matches the reference driver (reference run.py:32-40,
+658-660); all orchestration lives in dvae_tpu.training.driver.
+"""
+
+import argparse
+
+from dvae_tpu.training.driver import run
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("params_json", type=str,
+                        help="Path to JSON experiment config.")
+    parser.add_argument("--verbose", action="store_true", default=False,
+                        help="Print progress information.")
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    run(args.params_json, verbose=args.verbose)
