@@ -1,0 +1,94 @@
+"""Benchmark: fused train-step throughput on the flagship config.
+
+Measures tokens/sec/chip for the full training step (forward + all five
+loss families + all three optimizer-group updates + the AE-drift re-encode)
+at sfu_amazon_100k scale (batch 128, seq 17, vocab 20k, 256-dim 2-layer
+bidirectional encoder -- reproduction_configs/sfu_amazon_100k/vae_adv+mi.json
+via SURVEY.md section 6), on whatever device JAX provides (TPU in the
+driver's environment).
+
+vs_baseline compares seconds/step against the measured CPU-torch
+reference-profile baseline (benchmarks/BASELINE_MEASURED.json, produced by
+benchmarks/torch_reference_baseline.py -- the reference repo itself
+publishes no numbers, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from dvae_tpu.models import init_vae_params
+    from dvae_tpu.training import (create_train_state, kl_weight_vector,
+                                   make_train_step)
+
+    B = 128
+    cfg = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2,
+                           max_length=17)
+    batch_np = ge._synthetic_batch(cfg, B=B, seed=0)
+    batch = {k: (jnp.asarray(v) if not isinstance(v, dict)
+                 else {n: jnp.asarray(a) for n, a in v.items()})
+             for k, v in batch_np.items()}
+
+    params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
+    state = create_train_state(params, 3e-4, 0)
+    step = jax.jit(make_train_step(cfg, constants, 3e-4),
+                   donate_argnums=(0,))
+    klw = jnp.asarray(kl_weight_vector(cfg, {"default": 0.01}, 1.0))
+    tf = jnp.asarray(0.5)
+    miw = jnp.asarray(0.01)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics, _, _ = step(state, batch, klw, tf, miw)
+    jax.block_until_ready(metrics["total_loss"])
+
+    n_steps = 20
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, metrics, _, _ = step(state, batch, klw, tf, miw)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.time() - t0
+    sec_per_step = dt / n_steps
+
+    tokens_per_batch = int(batch_np["lengths"].sum())
+    n_chips = jax.device_count()
+    tokens_per_sec_per_chip = tokens_per_batch / sec_per_step / n_chips
+
+    vs_baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        vs_baseline = base["torch_cpu_seconds_per_step"] / sec_per_step
+
+    print(json.dumps({
+        "metric": "train_step_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec_per_chip, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": (round(vs_baseline, 2)
+                        if vs_baseline is not None else None),
+        "detail": {
+            "seconds_per_step": round(sec_per_step, 6),
+            "batch_size": B,
+            "tokens_per_batch": tokens_per_batch,
+            "device": str(jax.devices()[0]),
+            "n_chips": n_chips,
+            "config": "sfu_amazon_100k scale (V=20k, H=256, 2-layer biLSTM,"
+                      " adv+mi on, full fused train step)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
