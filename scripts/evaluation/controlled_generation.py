@@ -1,0 +1,32 @@
+"""CLI: controlled generation via opposite-class mean-z transfer
+(reference controlled_generation.py CLI)."""
+
+import argparse
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers()
+
+    c = sub.add_parser("compute")
+    c.set_defaults(cmd="compute")
+    c.add_argument("params_file", type=str)
+    c.add_argument("outfile", type=str)
+    c.add_argument("dataset", type=str, choices=["train", "dev", "test"])
+    c.add_argument("--verbose", action="store_true", default=False)
+
+    s = sub.add_parser("summarize")
+    s.set_defaults(cmd="summarize")
+    s.add_argument("outfile", type=str)
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    from dvae_tpu.evaluation.model_evals import (
+        compute_controlled_generation, summarize_controlled_generation)
+    if args.cmd == "compute":
+        compute_controlled_generation(args.params_file, args.outfile,
+                                      args.dataset, verbose=args.verbose)
+    elif args.cmd == "summarize":
+        summarize_controlled_generation(args.outfile)

@@ -1,0 +1,220 @@
+"""Evaluation-suite tests.
+
+The synthetic MIG oracles (the reference's only self-tests,
+disentanglement.py:298-401) become real assertions here; the model-reload
+evals run end-to-end against a trained tiny checkpoint and their output
+file contracts are checked.
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from dvae_tpu.evaluation import disentanglement as D
+from dvae_tpu.evaluation.metadata import (compute_entropy_freq, compute_migs,
+                                          sample_from_latent)
+
+
+def test_oracle_random_has_low_mi():
+    np.random.seed(0)
+    acc, Hv, mi = D.test_random(20000, 2)
+    assert mi < 0.01
+    assert 0.45 < acc < 0.55
+
+
+def test_oracle_predictive_has_high_mi():
+    np.random.seed(0)
+    acc, Hv, mi = D.test_predictive(20000, 2)
+    assert acc > 0.95
+    assert mi > 0.4
+
+
+def test_oracle_bijective():
+    np.random.seed(0)
+    acc, Hv, mi = D.test_bijective(20000, 2, predictive=True)
+    assert acc == 1.0
+    # bijective predictive: MI ~= H(v)
+    assert abs(mi - Hv) < 0.05
+    acc2, _, mi2 = D.test_bijective(20000, 2, predictive=False)
+    assert mi2 < 0.01
+
+
+def test_oracle_bijective_entropy_identity():
+    np.random.seed(0)
+    Hz, Hv, Hvz, mi = D.test_bijective_oracle(50000, 2, predictive=True)
+    # z == v: H[v,z] == H[v] == H[z], MI == H[v]
+    assert abs(Hz - Hv) < 1e-6 and abs(mi - Hv) < 1e-6
+
+
+def test_entropy_freq_uniform_binary():
+    H = compute_entropy_freq([0, 1] * 500)
+    assert abs(H - math.log(2)) < 1e-6
+
+
+def test_compute_migs_ordering():
+    mis = {"polarity": {"polarity": 0.6, "content": 0.2, "unc": 0.1}}
+    Hvs = {"polarity": math.log(2)}
+    migs = compute_migs(mis, Hvs)
+    m = migs["polarity"]
+    assert m["sorted_latents"][0] == "polarity"
+    assert abs(m["MIG"] - (0.6 - 0.2) / math.log(2)) < 1e-9
+
+
+def test_sample_from_latent_convention():
+    """std of samples must be exp(logvar), matching model quirk #2."""
+    mus = np.zeros(20000, np.float32)
+    logvars = np.full(20000, -0.5, np.float32)
+    rng = np.random.default_rng(0)
+    zs = sample_from_latent(mus, logvars, rng)
+    assert abs(zs.std() - np.exp(-0.5)) < 0.02
+
+
+# ------------- end-to-end against a trained tiny model -------------
+
+@pytest.fixture(scope="module")
+def trained_env(tmp_path_factory):
+    from tests.test_driver import write_corpus
+    tmp_path = tmp_path_factory.mktemp("evalsuite")
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    write_corpus(data_dir / "train.jsonl", 32, 0)
+    write_corpus(data_dir / "dev.jsonl", 12, 1)
+    write_corpus(data_dir / "test.jsonl", 12, 2)
+    cfg = {
+        "name": "tiny_eval", "random_seed": 11, "data_dir": str(data_dir),
+        "combined_dataset": False, "dataset_minibatch_ratios": {},
+        "checkpoint_dir": str(tmp_path / "ckpts"), "glove_path": "",
+        "num_train_examples": -1, "lowercase": True, "reverse_input": False,
+        "embedding_dim": 8, "hidden_dim": 10, "num_rnn_layers": 1,
+        "bidirectional_encoder": False, "bow_encoder": False,
+        "latent_dims": {"total": 6, "polarity": 1, "uncertainty": 1},
+        "epochs": 1, "batch_size": 8, "learn_rate": 1e-3,
+        "encoder_dropout": 0.0, "decoder_dropout": 0.0,
+        "teacher_forcing_prob": 0.5, "lambdas": {"default": 0.01},
+        "adversarial_loss": False, "mi_loss": False,
+        "train": True, "validate": True, "test": False,
+        "log_tensorboard": False,
+    }
+    cfg_path = tmp_path / "config.json"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    from dvae_tpu.training.driver import run
+    run(str(cfg_path))
+    yield tmp_path, str(cfg_path), str(data_dir)
+    os.chdir(old)
+
+
+def test_disentanglement_compute_contract(trained_env):
+    tmp_path, cfg_path, data_dir = trained_env
+    metadata_dir = str(tmp_path / "logs" / "tiny_eval" / "metadata")
+    outdir = str(tmp_path / "eval_out")
+    D.compute(metadata_dir, data_dir, "train", outdir, num_resamples=2,
+              seed=0)
+    migs = [json.loads(l) for l in
+            open(os.path.join(outdir, "MIGS_train.jsonl"))]
+    assert len(migs) == 2
+    assert "polarity" in migs[0] and "uncertainty" in migs[0]
+    for lab in ("polarity", "uncertainty"):
+        d = migs[0][lab]
+        assert set(d.keys()) == {"sorted_latents", "MIG", "sorted_MIs",
+                                 "label_entropy"}
+        assert len(d["sorted_latents"]) == 3  # polarity/uncertainty/content
+    preds = open(os.path.join(outdir, "predictions_train.csv")
+                 ).read().splitlines()
+    assert preds[0] == "sample_num,latent_name,label_name,precision," \
+        "recall,F1"
+    # 2 resamples x 3 latents x 2 labels = 12 rows + header
+    assert len(preds) == 13
+    # summarize runs and produces plots
+    D.summarize("train", outdir)
+    assert os.path.exists(os.path.join(outdir, "plots",
+                                       "disentanglement_train.png"))
+
+
+def test_consistency_contract(trained_env):
+    tmp_path, cfg_path, data_dir = trained_env
+    from dvae_tpu.evaluation.model_evals import (compute_consistency,
+                                                 summarize_consistency)
+    outdir = str(tmp_path / "consistency_out")
+    compute_consistency(cfg_path, outdir, "dev", num_resamples=2)
+    rows = open(os.path.join(outdir, "decoder_predictions_dev.csv")
+                ).read().splitlines()
+    assert rows[0].startswith("batch,sample_num,label,true,pred")
+    # 2 labels x 2 resamples x 3 comparisons = 12 rows
+    assert len(rows) == 13
+    bleus = open(os.path.join(outdir, "self_bleus_dev.csv")
+                 ).read().splitlines()
+    assert bleus[0] == "batch,sample_num,BLEU"
+    summarize_consistency(outdir, "dev")
+
+
+def test_controlled_generation_contract(trained_env):
+    tmp_path, cfg_path, data_dir = trained_env
+    from dvae_tpu.evaluation.model_evals import (
+        compute_controlled_generation, summarize_controlled_generation)
+    outfile = str(tmp_path / "cg_dev.jsonl")
+    compute_controlled_generation(cfg_path, outfile, "dev")
+    rows = [json.loads(l) for l in open(outfile)]
+    # 12 dev examples x 2 transferable latents
+    assert len(rows) == 24
+    r = rows[0]
+    assert set(r.keys()) == {"transferred_latent", "input", "output",
+                             "predictions"}
+    assert set(r["predictions"].keys()) == {"polarity", "uncertainty"}
+    summarize_controlled_generation(outfile)
+
+
+def test_attribute_transfer_contract(trained_env):
+    tmp_path, cfg_path, data_dir = trained_env
+    from dvae_tpu.evaluation.model_evals import (
+        compute_attribute_transfer, summarize_attribute_transfer)
+    outfile = str(tmp_path / "at_dev.jsonl")
+    compute_attribute_transfer(cfg_path, outfile, "dev")
+    rows = [json.loads(l) for l in open(outfile)]
+    assert len(rows) == 24
+    assert set(rows[0].keys()) == {"latent", "target", "source",
+                                   "transferred", "predictions"}
+    summarize_attribute_transfer(outfile)
+
+
+def test_reconstruct_all_splits(trained_env):
+    tmp_path, cfg_path, data_dir = trained_env
+    from dvae_tpu.evaluation.model_evals import reconstruct_all_splits
+    recon = reconstruct_all_splits(cfg_path, N=5)
+    assert set(recon.keys()) == {"train", "dev", "test"}
+    assert len(recon["train"]) == 5
+    assert all(isinstance(s, str) for s in recon["train"])
+
+
+def test_invariance_and_plots(trained_env):
+    tmp_path, cfg_path, data_dir = trained_env
+    metadata_dir = str(tmp_path / "logs" / "tiny_eval" / "metadata")
+    from dvae_tpu.evaluation.invariance import compute as inv_compute
+    df = inv_compute(metadata_dir, data_dir, "train", num_resamples=2,
+                     seed=0, plot_path=str(tmp_path / "inv.png"))
+    assert {"latent", "static_label", "vary_label",
+            "z_mean"} <= set(df.columns)
+    assert os.path.exists(tmp_path / "inv.png")
+
+    from dvae_tpu.evaluation.plots import plot_latents
+    plot_latents(metadata_dir, data_dir, "train",
+                 outfile=str(tmp_path / "zs.png"), max_tsne=30)
+    assert os.path.exists(tmp_path / "zs.png")
+
+
+def test_plot_migs(trained_env):
+    tmp_path, cfg_path, data_dir = trained_env
+    metadata_dir = str(tmp_path / "logs" / "tiny_eval" / "metadata")
+    outdir = str(tmp_path / "eval_out2")
+    D.compute(metadata_dir, data_dir, "train", outdir, num_resamples=2,
+              seed=1)
+    from dvae_tpu.evaluation.plots import plot_migs
+    mig_file = os.path.join(outdir, "MIGS_train.jsonl")
+    plot_migs([mig_file, mig_file], str(tmp_path / "migs.png"),
+              ["model_a", "model_b"])
+    assert os.path.exists(tmp_path / "migs.png")
