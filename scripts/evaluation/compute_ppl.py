@@ -2,6 +2,12 @@
 (reference compute_ppl.py CLI). GPT-2 weights must be locally cached;
 without them, reconstructions are still produced and saved."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
+
 import argparse
 
 

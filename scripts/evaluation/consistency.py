@@ -4,6 +4,12 @@ compute:   decoder_predictions_{ds}.csv + self_bleus_{ds}.csv
 summarize: aggregate table + mean self-BLEU
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
+
 import argparse
 
 

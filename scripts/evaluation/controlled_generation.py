@@ -1,6 +1,12 @@
 """CLI: controlled generation via opposite-class mean-z transfer
 (reference controlled_generation.py CLI)."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
+
 import argparse
 
 

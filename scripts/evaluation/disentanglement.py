@@ -6,6 +6,12 @@ Same subcommands as the reference (scripts/evaluation/disentanglement.py):
   summarize  -- tables + boxplots
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
+
 import argparse
 
 

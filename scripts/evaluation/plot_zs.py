@@ -1,5 +1,11 @@
 """CLI: latent histograms + content t-SNE (reference plot_zs.py CLI)."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
+
 import argparse
 
 if __name__ == "__main__":

@@ -1,0 +1,83 @@
+"""n-gram language-model perplexity per corpus (reference scripts/helpers/
+ngram_ppl.py): n-gram LM with a 1e-8 probability floor, trained on each
+corpus's train split and evaluated on train/dev/test, with UNK counts.
+nltk-free reimplementation."""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
+
+
+import argparse
+import json
+import os
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from dvae_tpu.data import preprocess_sentences
+
+FLOOR = 1e-8
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("data_dirs", nargs="+", type=str,
+                   help="Directories containing {train,dev,test}.jsonl")
+    p.add_argument("-n", type=int, default=2, help="n-gram order")
+    return p.parse_args()
+
+
+def read_split(data_dir, split):
+    path = os.path.join(data_dir, f"{split}.jsonl")
+    sents = [json.loads(line)["sentence"] for line in open(path)]
+    return preprocess_sentences(sents, "<s>", "</s>")
+
+
+def estimate_ngram_lm(sentences, n=2):
+    context_counts = defaultdict(Counter)
+    vocab = set()
+    for sent in sentences:
+        vocab.update(sent)
+        for i in range(len(sent) - n + 1):
+            ctx = tuple(sent[i:i + n - 1])
+            context_counts[ctx][sent[i + n - 1]] += 1
+    return context_counts, vocab
+
+
+def compute_ppl(model, vocab, sentences, n=2):
+    context_counts, _ = model, None
+    logps = []
+    n_unk = 0
+    for sent in sentences:
+        sent = [t if t in vocab else "<UNK>" for t in sent]
+        n_unk += sum(1 for t in sent if t == "<UNK>")
+        for i in range(len(sent) - n + 1):
+            ctx = tuple(sent[i:i + n - 1])
+            tok = sent[i + n - 1]
+            counts = context_counts.get(ctx)
+            p = FLOOR
+            if counts:
+                total = sum(counts.values())
+                p = max(counts.get(tok, 0) / total, FLOOR)
+            logps.append(np.log(p))
+    ppl = float(np.exp(-np.mean(logps))) if logps else float("inf")
+    return ppl, n_unk
+
+
+def main():
+    args = parse_args()
+    for data_dir in args.data_dirs:
+        train = read_split(data_dir, "train")
+        model, vocab = estimate_ngram_lm(train, n=args.n)
+        print(f"==== {data_dir} (n={args.n}) ====")
+        for split in ("train", "dev", "test"):
+            sents = read_split(data_dir, split)
+            ppl, n_unk = compute_ppl(model, vocab, sents, n=args.n)
+            print(f"  {split}: PPL={ppl:.2f}  UNK tokens={n_unk}")
+
+
+if __name__ == "__main__":
+    main()
