@@ -72,6 +72,7 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # optimizer_step at model.py:239-245 backwards CE on top WITHOUT
     # zeroing, so Adam steps on dCE + dH). "clean": CE only.
     "adv_grad_mode": (str, "reference"),
+    "lstm_backend": (str, "auto"),
 }
 
 
@@ -168,6 +169,9 @@ class ModelConfig:
     compute_dtype: str = "float32"
     max_length: int = 32
     adv_grad_mode: str = "reference"  # see OPTIONAL_SCHEMA["adv_grad_mode"]
+    # LSTM recurrence backend: "scan" (lax.scan), "pallas" (fused kernel),
+    # or "auto" (pallas on TPU when the shape fits VMEM, else scan).
+    lstm_backend: str = "auto"
 
     @property
     def total_latent_dim(self) -> int:
@@ -265,4 +269,5 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         compute_dtype=params.get("compute_dtype", "float32"),
         max_length=max_length,
         adv_grad_mode=params.get("adv_grad_mode", "reference"),
+        lstm_backend=params.get("lstm_backend", "auto"),
     )

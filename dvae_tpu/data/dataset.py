@@ -45,6 +45,29 @@ class DenoisingTextDataset:
         self.X = self._encode_docs(orig_docs)
         self.Y = encode_labels(labels, label_codecs)  # {name: int32 [N]}
 
+    @classmethod
+    def from_arrays(cls, noisy_X: np.ndarray, X: np.ndarray,
+                    lengths: np.ndarray, labels: Sequence[Dict],
+                    ids: Sequence[str], word2idx: Dict[str, int],
+                    label_codecs: Dict[str, LabelCodec],
+                    max_length: int) -> "DenoisingTextDataset":
+        """Construct directly from pre-encoded arrays (the native C++
+        tokenize+encode fast path; see data/native.py)."""
+        obj = cls.__new__(cls)
+        obj.word2idx = word2idx
+        obj.idx2word = {i: w for w, i in word2idx.items()}
+        obj.label_codecs = label_codecs
+        obj.ids = list(ids)
+        obj._id2pos = {u: i for i, u in enumerate(obj.ids)}
+        obj.raw_labels = list(labels)
+        obj.lengths = np.asarray(lengths, np.int32)
+        obj.max_length = int(max_length)
+        assert noisy_X.shape == X.shape == (len(obj.ids), obj.max_length)
+        obj.noisy_X = np.asarray(noisy_X, np.int32)
+        obj.X = np.asarray(X, np.int32)
+        obj.Y = encode_labels(labels, label_codecs)
+        return obj
+
     def _encode_docs(self, docs: Sequence[List[str]]) -> np.ndarray:
         unk = self.word2idx[UNK]
         pad = self.word2idx[PAD]

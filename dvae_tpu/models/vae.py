@@ -135,6 +135,27 @@ def _embedding(main: Dict, constants: Dict, which: str) -> jnp.ndarray:
     return main[which]["embedding"]
 
 
+def _select_lstm_backend(cfg: ModelConfig, token_shape):
+    """Pick the recurrence implementation for encoder layers (see
+    config.ModelConfig.lstm_backend)."""
+    if cfg.lstm_backend == "scan":
+        return lstm_scan
+    from dvae_tpu.ops.pallas_lstm import (lstm_scan_pallas,
+                                          pallas_lstm_supported)
+    B, T = token_shape
+    ok = pallas_lstm_supported(B, T, cfg.hidden_dim)
+    if cfg.lstm_backend == "pallas":
+        if not ok:
+            raise ValueError(
+                f"pallas LSTM unsupported for B={B} T={T} "
+                f"H={cfg.hidden_dim}")
+        return lstm_scan_pallas
+    # auto: only on TPU with supported shapes
+    if ok and jax.default_backend() == "tpu":
+        return lstm_scan_pallas
+    return lstm_scan
+
+
 def encode(main: Dict, constants: Dict, cfg: ModelConfig,
            tokens: jnp.ndarray, lengths: jnp.ndarray, key,
            train: bool) -> jnp.ndarray:
@@ -157,16 +178,17 @@ def encode(main: Dict, constants: Dict, cfg: ModelConfig,
         masked = jnp.where(valid, emb, -jnp.inf)
         return jnp.max(masked, axis=1)
 
+    run_lstm = _select_lstm_backend(cfg, tokens.shape)
     x = emb
     finals = []
     for l in range(cfg.enc_layers):
         lp = main["enc"]["layers"][f"layer_{l}"]
-        outs_f, (h_f, _) = lstm_scan(lp["fwd"], x, lengths,
-                                     cfg.compute_dtype)
+        outs_f, (h_f, _) = run_lstm(lp["fwd"], x, lengths,
+                                    cfg.compute_dtype)
         if cfg.bidirectional:
             x_rev = flip_within_length(x, lengths)
-            outs_b, (h_b, _) = lstm_scan(lp["bwd"], x_rev, lengths,
-                                         cfg.compute_dtype)
+            outs_b, (h_b, _) = run_lstm(lp["bwd"], x_rev, lengths,
+                                        cfg.compute_dtype)
             outs_b = flip_within_length(outs_b, lengths)
             outs = jnp.concatenate([outs_f, outs_b], axis=-1)
             finals.extend([h_f, h_b])

@@ -1,0 +1,254 @@
+"""Pallas fused LSTM sequence kernel.
+
+Replaces the per-timestep `lax.scan` body with ONE kernel per (layer,
+direction): the recurrent state (h, c) lives in VMEM scratch for the whole
+sequence, the input projections x_proj = x @ W_ih^T + b (the FLOPs-heavy
+part, computed outside as one big MXU matmul) stream in per batch tile, and
+the only per-step compute is the [B, H] x [H, 4H] recurrent matmul plus the
+gate elementwise ops -- no per-step HBM round-trips or dynamic-update-slice
+chains.
+
+Training support comes from a custom VJP: the kernel emits the full h/c
+sequences as residuals and the backward pass is a standard reverse-time
+scan that recomputes the gates from (x_proj, h_{t-1}) -- rematerialization
+instead of storing 4H gate activations per step.
+
+Shapes are validated against a VMEM budget; callers fall back to the
+`lax.scan` path (models/lstm.py) when the kernel does not apply.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+_BATCH_TILE = 128
+
+
+def _vmem_bytes(B_tile: int, T: int, H: int) -> int:
+    # x_proj tile + w_hh + outs (h) + outs (c) + scratch
+    return 4 * (B_tile * T * 4 * H + H * 4 * H + 2 * B_tile * T * H
+                + 4 * B_tile * H)
+
+
+def pallas_lstm_supported(B: int, T: int, H: int) -> bool:
+    if H % 128 != 0:
+        return False
+    if B > _BATCH_TILE and B % _BATCH_TILE != 0:
+        return False
+    return _vmem_bytes(min(B, _BATCH_TILE), T, H) <= VMEM_BUDGET_BYTES
+
+
+def _lstm_seq_kernel(x_proj_ref, w_hh_ref, lengths_ref, h0_ref, c0_ref,
+                     h_out_ref, c_out_ref, hf_ref, cf_ref,
+                     h_scratch, c_scratch, *, T: int):
+    """One batch tile: iterate the full sequence with (h, c) in VMEM.
+
+    x_proj_ref: [B_tile, T, 4H]; w_hh_ref: [H, 4H] (transposed so the
+    recurrent matmul is h @ w_hh); lengths_ref: [B_tile, 1];
+    h_out/c_out: [B_tile, T, H]; hf/cf: [B_tile, H] final states.
+    """
+    import jax.numpy as jnp  # noqa: F811 (kept local for clarity)
+
+    H = w_hh_ref.shape[0]
+    h_scratch[:] = h0_ref[:]
+    c_scratch[:] = c0_ref[:]
+    lengths = lengths_ref[:]  # [B_tile, 1] int32
+
+    def step(t, _):
+        h = h_scratch[:]
+        c = c_scratch[:]
+        gates = x_proj_ref[:, t, :] + jax.lax.dot(
+            h, w_hh_ref[:], preferred_element_type=jnp.float32)
+        i_g = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+        f_g = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+        g_g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o_g = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+        c_new = f_g * c + i_g * g_g
+        h_new = o_g * jnp.tanh(c_new)
+        valid = t < lengths  # [B_tile, 1], broadcasts over H
+        h_scratch[:] = jnp.where(valid, h_new, h)
+        c_scratch[:] = jnp.where(valid, c_new, c)
+        h_out_ref[:, t, :] = jnp.where(valid, h_new, 0.0)
+        c_out_ref[:, t, :] = jnp.where(valid, c_new, 0.0)
+        return _
+
+    jax.lax.fori_loop(0, T, step, None)
+    hf_ref[:] = h_scratch[:]
+    cf_ref[:] = c_scratch[:]
+
+
+def _pallas_forward(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray,
+                    lengths: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,
+                    interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, H4 = x_proj.shape
+    H = H4 // 4
+    tile = min(B, _BATCH_TILE)
+    assert B % tile == 0, (B, tile)
+    grid = (B // tile,)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+
+    kernel = functools.partial(_lstm_seq_kernel, T=T)
+    h_out, c_out, hf, cf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, T, H4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, T, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, T, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, H), jnp.float32),
+            pltpu.VMEM((tile, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_proj, w_hh_t, lengths2d, h0, c0)
+    return h_out, c_out, hf, cf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _lstm_seq(x_proj, w_hh_t, lengths, h0, c0, interpret):
+    h_out, c_out, hf, cf = _pallas_forward(x_proj, w_hh_t, lengths, h0, c0,
+                                           interpret)
+    return h_out, hf, cf
+
+
+def _lstm_seq_fwd(x_proj, w_hh_t, lengths, h0, c0, interpret):
+    h_out, c_out, hf, cf = _pallas_forward(x_proj, w_hh_t, lengths, h0, c0,
+                                           interpret)
+    return (h_out, hf, cf), (x_proj, w_hh_t, lengths, h0, c0, h_out, c_out)
+
+
+def _lstm_seq_bwd(interpret, res, grads):
+    """Reverse-time backprop, recomputing gates from saved (h, c) states.
+
+    Standard LSTM backward: for the carried (masked) state,
+      h_t = valid ? h'_t : h_{t-1}  with h'_t = o*tanh(c'_t),
+      c_t = valid ? c'_t : c_{t-1}.
+    """
+    x_proj, w_hh_t, lengths, h0, c0, h_out, c_out = res
+    g_hout, g_hf, g_cf = grads
+    B, T, H = h_out.shape
+
+    # Build carried (post-mask) state sequences: since outputs were zeroed
+    # at invalid steps, reconstruct the carried state by forward-filling.
+    valid = (jnp.arange(T)[None, :] < lengths[:, None])  # [B, T]
+
+    def ff_scan(carry, xs):
+        h_prev, c_prev = carry
+        h_t, c_t, v_t = xs
+        h_c = jnp.where(v_t[:, None], h_t, h_prev)
+        c_c = jnp.where(v_t[:, None], c_t, c_prev)
+        return (h_c, c_c), (h_c, c_c)
+
+    (_, _), (h_carry, c_carry) = jax.lax.scan(
+        ff_scan, (h0, c0),
+        (jnp.swapaxes(h_out, 0, 1), jnp.swapaxes(c_out, 0, 1),
+         jnp.swapaxes(valid, 0, 1)))
+    # h_carry[t] = carried h after step t   [T, B, H]
+
+    w_hh = w_hh_t.T  # [4H, H] -> rows are gate blocks
+
+    def bwd_step(carry, xs):
+        dh_next, dc_next = carry  # grads wrt carried h_t, c_t
+        t = xs
+        v = valid[:, t][:, None]
+        h_prev = jnp.where(t == 0, h0, h_carry[jnp.maximum(t - 1, 0)])
+        c_prev = jnp.where(t == 0, c0, c_carry[jnp.maximum(t - 1, 0)])
+        # recompute gates for step t
+        gates = x_proj[:, t, :] + h_prev @ w_hh_t
+        i_g = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+        f_g = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+        g_g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o_g = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+        c_new = f_g * c_prev + i_g * g_g
+        tanh_c = jnp.tanh(c_new)
+
+        dh_total = dh_next + g_hout[:, t, :] * v
+        # invalid steps pass grads straight through to t-1
+        dh_valid = jnp.where(v, dh_total, 0.0)
+        dc_valid = jnp.where(v, dc_next, 0.0)
+
+        do = dh_valid * tanh_c
+        dc_new = dh_valid * o_g * (1 - tanh_c ** 2) + dc_valid
+        df = dc_new * c_prev
+        di = dc_new * g_g
+        dg = dc_new * i_g
+        dgates = jnp.concatenate([
+            di * i_g * (1 - i_g),
+            df * f_g * (1 - f_g),
+            dg * (1 - g_g ** 2),
+            do * o_g * (1 - o_g)], axis=-1)          # [B, 4H]
+        dh_prev = dgates @ w_hh                       # [B, H]
+        dc_prev = dc_new * f_g
+        # pass-through for masked rows
+        dh_prev = dh_prev + jnp.where(v, 0.0, dh_total)
+        dc_prev = dc_prev + jnp.where(v, 0.0, dc_next)
+        return (dh_prev, dc_prev), (dgates, h_prev)
+
+    (dh0, dc0), (dgates_seq, hprev_seq) = jax.lax.scan(
+        bwd_step, (g_hf, g_cf), jnp.arange(T - 1, -1, -1))
+    # un-reverse
+    dgates_seq = dgates_seq[::-1]                    # [T, B, 4H]
+    hprev_seq = hprev_seq[::-1]                      # [T, B, H]
+    dx_proj = jnp.swapaxes(dgates_seq, 0, 1)          # [B, T, 4H]
+    dw_hh_t = jnp.einsum("tbh,tbg->hg", hprev_seq, dgates_seq)
+    return dx_proj, dw_hh_t, None, dh0, dc0
+
+
+_lstm_seq.defvjp(_lstm_seq_fwd, _lstm_seq_bwd)
+
+
+def lstm_scan_pallas(p, xs: jnp.ndarray, lengths: jnp.ndarray,
+                     compute_dtype: str = "float32",
+                     interpret: bool = None
+                     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Drop-in for models.lstm.lstm_scan backed by the fused kernel.
+
+    p: torch-layout LSTM params {w_ih [4H,D], w_hh [4H,H], b_ih, b_hh}.
+    Returns (outputs [B,T,H] zeroed at pad, (h_final, c_final)).
+    """
+    from dvae_tpu.models.layers import dot
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, _ = xs.shape
+    H = p["w_hh"].shape[1]
+    x_proj = dot(xs, p["w_ih"], compute_dtype) + (p["b_ih"] + p["b_hh"])
+    x_proj = x_proj.astype(jnp.float32)
+    h0 = jnp.zeros((B, H), jnp.float32)
+    c0 = jnp.zeros((B, H), jnp.float32)
+    w_hh_t = p["w_hh"].T.astype(jnp.float32)          # [H, 4H]
+    h_out, hf, cf = _lstm_seq(x_proj, w_hh_t, lengths, h0, c0, interpret)
+    return h_out, (hf, cf)

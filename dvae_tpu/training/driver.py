@@ -123,11 +123,32 @@ class Experiment:
                           for d in s["docs"])
         self.max_length = max_len
         self.datasets: Dict[str, DenoisingTextDataset] = {}
+        from dvae_tpu.data import native as _native
+        use_native = _native.available()
+        nv = _native.NativeVocab(self.vocab) if use_native else None
         for name, split in self.splits.items():
-            self.datasets[name] = DenoisingTextDataset(
-                split["noisy_docs"], split["docs"], split["labels"],
-                split["ids"], self.word2idx, self.codecs,
-                max_length=max_len)
+            if use_native:
+                # fused C++ tokenize+encode: one pass, no Python tokens
+                X, lengths = nv.encode(
+                    split["sentences"], params["lowercase"],
+                    self.word2idx[SOS], self.word2idx[EOS],
+                    self.word2idx[UNK], self.word2idx[PAD], max_len)
+                if params["reverse_input"]:
+                    # reversal of the SOS/EOS-wrapped doc == flip each
+                    # row's valid prefix (vae/data_utils.py:282-283)
+                    noisy = np.zeros_like(X)
+                    for i, L in enumerate(lengths):
+                        noisy[i, :L] = X[i, :L][::-1]
+                else:
+                    noisy = X
+                self.datasets[name] = DenoisingTextDataset.from_arrays(
+                    noisy, X, lengths, split["labels"], split["ids"],
+                    self.word2idx, self.codecs, max_len)
+            else:
+                self.datasets[name] = DenoisingTextDataset(
+                    split["noisy_docs"], split["docs"], split["labels"],
+                    split["ids"], self.word2idx, self.codecs,
+                    max_length=max_len)
 
         # --- model ---
         self.cfg = build_model_config(
@@ -154,8 +175,16 @@ class Experiment:
         sents, labels, ids, counts = get_sentences_labels(
             path, label_keys=self.label_keys, N=N, shuffle=True,
             rng=self._shuffle_rng)
-        docs = preprocess_sentences(sents, SOS, EOS,
-                                    lowercase=self.params["lowercase"])
+        lowercase = self.params["lowercase"]
+        # Native (C++) tokenizer fast path; bit-identical to the Python
+        # pipeline (tests/test_native.py), falls back if unbuilt.
+        from dvae_tpu.data import native
+        if native.available():
+            docs = [[SOS] + toks + [EOS] for toks in
+                    native.tokenize_corpus(sents, lowercase=lowercase)]
+        else:
+            docs = preprocess_sentences(sents, SOS, EOS,
+                                        lowercase=lowercase)
         return {"sentences": sents, "labels": list(labels),
                 "ids": list(ids), "counts": counts, "docs": docs}
 
