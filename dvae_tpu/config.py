@@ -73,6 +73,13 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # zeroing, so Adam steps on dCE + dH). "clean": CE only.
     "adv_grad_mode": (str, "reference"),
     "lstm_backend": (str, "auto"),
+    # TPU-native equivalents of the reference's always-on autograd anomaly
+    # detection + AutogradDebugger (run.py:22, utils.py:22-45): NaN checks
+    # are opt-in here because they disable fusion/donation.
+    "debug_nans": (bool, False),
+    # jax.profiler trace of the first few training steps; "" disables.
+    "profile_dir": (str, ""),
+    "profile_steps": (int, 5),
 }
 
 

@@ -258,6 +258,11 @@ def _summary_line(tag: str, epoch: int, logger: LossLogger,
 def run(params_file: str, verbose: bool = False) -> None:
     """Train/validate/test per the config (reference run.py:426-655)."""
     params = load_config(params_file)
+    if params.get("debug_nans"):
+        # Correctness sanitizer, the jit-world analogue of the reference's
+        # global torch.autograd.set_detect_anomaly(True) (run.py:22): every
+        # jitted computation re-checks outputs for NaNs and fails loudly.
+        jax.config.update("jax_debug_nans", True)
     exp = Experiment(params)
     cfg = exp.cfg
 
@@ -356,8 +361,11 @@ def run(params_file: str, verbose: bool = False) -> None:
         collected, latents_steps, preds_steps = [], [], []
         ids_all: List[str] = []
         masks, targets = [], []
+        profile_dir = params.get("profile_dir", "")
         step = step0
         for batch in pipeline.epoch():
+            if profile_dir and step == step0 + 1 and epoch == 0:
+                jax.profiler.start_trace(profile_dir)
             cyc = float(get_cyclic_kl_weight(step, total_steps))
             klw = kl_weight_vector(cfg, params["lambdas"], cyc)
             db = exp.device_batch(batch)
@@ -375,6 +383,11 @@ def run(params_file: str, verbose: bool = False) -> None:
             masks.append(batch.example_mask)
             targets.append(batch.X)
             step += 1
+            if profile_dir and epoch == 0 and \
+                    step == step0 + 1 + params.get("profile_steps", 5):
+                jax.block_until_ready(metrics["total_loss"])
+                jax.profiler.stop_trace()
+                logging.info(f"Profiler trace written to {profile_dir}")
             if step - step0 == 20 and not verbose:
                 elapsed = time.time() - t0
                 est = elapsed * steps_per_epoch / 20
