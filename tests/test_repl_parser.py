@@ -12,11 +12,12 @@ from inspect_model import parse_input  # noqa: E402
 
 def test_reconstruct_command():
     args = parse_input(shlex.split(
-        'reconstruct "i do not know" -n 3 '
-        '--latent_values \'{"polarity": 1.0}\''.replace("'", "")))
+        "reconstruct \"i do not know\" -n 3 "
+        "--latent_values '{\"polarity\": 1.0}'"))
     assert args.cmd == "reconstruct"
     assert args.sentence == "i do not know"
     assert args.n == 3
+    assert args.latent_values == {"polarity": 1.0}
 
 
 def test_reconstruct_latent_values_json():
