@@ -76,6 +76,10 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # TPU-native equivalents of the reference's always-on autograd anomaly
     # detection + AutogradDebugger (run.py:22, utils.py:22-45): NaN checks
     # are opt-in here because they disable fusion/donation.
+    # MI estimator family: "club" (full marginalization, Adam 5e-4 --
+    # reference losses.py:10-74) or "club_sample" (sampled negatives,
+    # Adam 3e-5 -- the reference's unused alternative, losses.py:77-125).
+    "mi_estimator": (str, "club"),
     "debug_nans": (bool, False),
     # jax.profiler trace of the first few training steps; "" disables.
     "profile_dir": (str, ""),
@@ -179,6 +183,7 @@ class ModelConfig:
     # LSTM recurrence backend: "scan" (lax.scan), "pallas" (fused kernel),
     # or "auto" (pallas on TPU when the shape fits VMEM, else scan).
     lstm_backend: str = "auto"
+    mi_estimator: str = "club"  # "club" | "club_sample"
 
     @property
     def total_latent_dim(self) -> int:
@@ -277,4 +282,5 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         max_length=max_length,
         adv_grad_mode=params.get("adv_grad_mode", "reference"),
         lstm_backend=params.get("lstm_backend", "auto"),
+        mi_estimator=params.get("mi_estimator", "club"),
     )

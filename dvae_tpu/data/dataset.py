@@ -100,3 +100,18 @@ class DenoisingTextDataset:
         unk = self.word2idx[UNK]
         return np.asarray([self.word2idx.get(t, unk) for t in doc],
                           dtype=np.int32)
+
+
+class LabeledTextDataset(DenoisingTextDataset):
+    """Plain (doc, labels) dataset -- the reference's eager, non-denoising
+    sibling (vae/data_utils.py:90-144). Here it is the identity-noise
+    special case of DenoisingTextDataset: noisy == original."""
+
+    def __init__(self, docs, labels, ids, word2idx, label_codecs,
+                 max_length=None):
+        super().__init__(docs, docs, labels, ids, word2idx, label_codecs,
+                         max_length=max_length)
+
+    def __getitem__(self, i: int):
+        _, x, y, uid = super().__getitem__(i)
+        return x, y, uid

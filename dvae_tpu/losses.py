@@ -186,16 +186,24 @@ def compute_adversarial_losses(cfg: ModelConfig,
 
 def compute_mi_losses(cfg: ModelConfig, mi_params: Dict,
                       latent_params: Dict[str, LatentParams],
-                      example_mask: jnp.ndarray, beta) -> Dict:
+                      example_mask: jnp.ndarray, beta, key=None) -> Dict:
     """CLUB MI estimates, scaled by beta, summed (reference
     losses.py:226-242). Gradients flow into z (and hence the encoder);
-    pass stop_gradient(mi_params) for the main objective."""
+    pass stop_gradient(mi_params) for the main objective. `key` is
+    required for the club_sample estimator's negative permutation."""
+    from dvae_tpu.models.club import club_sample_mi_estimate
     idv = {}
     total = 0.0
-    for a, b in cfg.mi_pairs:
+    for i, (a, b) in enumerate(cfg.mi_pairs):
         name = f"{a}-{b}"
-        est = club_mi_estimate(mi_params[name], latent_params[a].z,
-                               latent_params[b].z, example_mask) * beta
+        if cfg.mi_estimator == "club_sample":
+            k = jax.random.fold_in(key, i)
+            est = club_sample_mi_estimate(
+                mi_params[name], latent_params[a].z, latent_params[b].z,
+                example_mask, k) * beta
+        else:
+            est = club_mi_estimate(mi_params[name], latent_params[a].z,
+                                   latent_params[b].z, example_mask) * beta
         idv[name] = est
         total = total + est
     return {"total_mi": total, "idv_mi_estimates": idv}

@@ -63,3 +63,25 @@ def club_loglikeli(p: Dict, x: jnp.ndarray, y: jnp.ndarray,
     mu, lv = _mu_logvar(p, x)
     ll = (-(mu - y) ** 2 * jnp.exp(-lv) - lv).sum(-1)
     return (ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def club_sample_mi_estimate(p: Dict, x: jnp.ndarray, y: jnp.ndarray,
+                            mask: jnp.ndarray, key) -> jnp.ndarray:
+    """CLUBSample: sampled-negative MI upper bound (reference
+    vae/losses.py:112-122, the unused alternative estimator, selected there
+    by swapping the constructor at model.py:350-352 and here by config
+    `mi_estimator: "club_sample"`).
+
+    Negatives come from one random permutation of the batch instead of the
+    full O(B^2) marginalization. Masked rows are permuted among themselves
+    is NOT guaranteed by a plain permutation, so invalid rows are excluded
+    via the mask on the outer mean (their contribution is dropped); with
+    full batches this is exactly the reference estimator.
+    """
+    mu, lv = _mu_logvar(p, x)
+    inv_var = jnp.exp(-lv)
+    perm = jax.random.permutation(key, x.shape[0])
+    positive = -((mu - y) ** 2) * inv_var
+    negative = -((mu - y[perm]) ** 2) * inv_var
+    per_ex = (positive.sum(-1) - negative.sum(-1))
+    return 0.5 * (per_ex * mask).sum() / jnp.maximum(mask.sum(), 1.0)

@@ -328,8 +328,9 @@ def run(params_file: str, verbose: bool = False) -> None:
         append_reconstructions(pairs, exp.logdir, ds_name, epoch)
 
     # training state (+ resume -- reference run.py:578-591)
+    mi_lr = 3e-5 if cfg.mi_estimator == "club_sample" else 5e-4
     state = create_train_state(exp.init_params, params["learn_rate"],
-                               params["random_seed"])
+                               params["random_seed"], mi_lr=mi_lr)
     state = replicate(exp.plan, state)
     state, start_epoch, ckpt_name = load_latest_checkpoint(
         state, exp.ckpt_dir)

@@ -52,18 +52,19 @@ class TrainState(NamedTuple):
     rng: jnp.ndarray                # base PRNG key; per-step keys fold in step
 
 
-def make_optimizers(learn_rate: float):
-    """The three reference optimizer groups."""
+def make_optimizers(learn_rate: float, mi_lr: float = 5e-4):
+    """The three reference optimizer groups. mi_lr: 5e-4 for CLUB
+    (losses.py:42), 3e-5 for CLUBSample (losses.py:95)."""
     opt_main = optax.chain(optax.clip_by_global_norm(5.0),
                            optax.adam(learn_rate))
     opt_adv = optax.adam(3e-4)
-    opt_mi = optax.adam(5e-4)  # clip(1.0) applied per estimator, see below
+    opt_mi = optax.adam(mi_lr)  # clip(1.0) applied per estimator below
     return opt_main, opt_adv, opt_mi
 
 
-def create_train_state(params: Dict, learn_rate: float, seed: int
-                       ) -> TrainState:
-    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate)
+def create_train_state(params: Dict, learn_rate: float, seed: int,
+                       mi_lr: float = 5e-4) -> TrainState:
+    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate, mi_lr)
     return TrainState(
         params=params,
         opt_main=opt_main.init(params["main"]),
@@ -146,7 +147,8 @@ def _all_losses(cfg: ModelConfig, params: Dict, constants: Dict, batch: Dict,
 
     if cfg.mi_loss:
         mi = L.compute_mi_losses(cfg, jax.lax.stop_gradient(params["mi"]),
-                                 lp, mask, mi_weight)
+                                 lp, mask, mi_weight,
+                                 key=jax.random.fold_in(key, 7919))
         metrics.update({"total_mi": mi["total_mi"],
                         "idv_mi_estimates": mi["idv_mi_estimates"]})
         total = total + mi["total_mi"]
@@ -169,7 +171,8 @@ def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float):
     Signature: step(state, batch, kl_weights_vec, tf_prob, mi_weight)
       -> (new_state, metrics, latents, token_predictions)
     """
-    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate)
+    mi_lr = 3e-5 if cfg.mi_estimator == "club_sample" else 5e-4
+    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate, mi_lr)
 
     def train_step(state: TrainState, batch: Dict, kl_weights_vec,
                    tf_prob, mi_weight):
