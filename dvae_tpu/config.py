@@ -81,6 +81,10 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # Adam 3e-5 -- the reference's unused alternative, losses.py:77-125).
     "mi_estimator": (str, "club"),
     "debug_nans": (bool, False),
+    # Compute the (host-side) self-BLEU metric every Nth train step.
+    # 1 = reference behavior (every step). On slow hosts BLEU is a
+    # meaningful share of epoch wall-clock; eval epochs always compute it.
+    "bleu_every_n_steps": (int, 1),
     # jax.profiler trace of the first few training steps; "" disables.
     "profile_dir": (str, ""),
     "profile_steps": (int, 5),

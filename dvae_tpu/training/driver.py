@@ -399,7 +399,10 @@ def run(params_file: str, verbose: bool = False) -> None:
         collected = jax.device_get(collected)
         latents_steps = jax.device_get(latents_steps)
         preds_steps = jax.device_get(preds_steps)
+        bleu_every = max(1, params.get("bleu_every_n_steps", 1))
         for i, preds in enumerate(preds_steps):
+            if i % bleu_every:
+                continue
             keep = masks[i].astype(bool)
             bleu = compute_bleu(targets[i][keep], np.asarray(preds)[keep],
                                 exp.idx2word, cfg.eos_idx)
