@@ -25,16 +25,39 @@ from dvae_tpu.training.step import TrainState
 
 _CKPT_RE = re.compile(r"^model_(\d+)$")
 
+_async_ckptr = None
+
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
 
 def checkpoint_path(ckpt_dir: str, epoch: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"model_{epoch}")
 
 
-def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int) -> str:
+def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
+                    use_async: bool = True) -> str:
+    """Write a checkpoint. Async by default: serialization overlaps the
+    next epoch's compute (a synchronous save costs more wall-clock than a
+    whole training epoch at this model scale); `wait_for_saves()` barriers.
+    """
     path = checkpoint_path(ckpt_dir, epoch)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, state._asdict(), force=True)
+    if use_async:
+        _get_async_checkpointer().save(path, state._asdict(), force=True)
+    else:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, state._asdict(), force=True)
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight async checkpoint saves are durable."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def latest_epoch(ckpt_dir: str) -> Optional[int]:
@@ -50,6 +73,7 @@ def load_latest_checkpoint(state: TrainState, ckpt_dir: str
     """Restore the highest-epoch checkpoint onto `state`'s structure.
     Returns (state, next_epoch, checkpoint_name_or_None); next_epoch is 0
     when nothing is found (reference vae/utils.py:156-175)."""
+    wait_for_saves()  # a just-written async checkpoint must be durable
     ep = latest_epoch(ckpt_dir)
     if ep is None:
         return state, 0, None

@@ -45,7 +45,7 @@ from dvae_tpu.data.text import SOS, EOS, PAD, UNK
 from dvae_tpu.models import forward, init_vae_params
 from dvae_tpu.parallel import make_mesh_plan, replicate, shard_batch
 from dvae_tpu.training.checkpoint import (load_latest_checkpoint,
-                                          save_checkpoint)
+                                          save_checkpoint, wait_for_saves)
 from dvae_tpu.training.logging import (LossLogger, ScalarWriter,
                                        append_reconstructions, log_params)
 from dvae_tpu.training.step import (create_train_state, kl_weight_vector,
@@ -485,6 +485,7 @@ def run(params_file: str, verbose: bool = False) -> None:
         log_reconstructions(state, "test", start_epoch, n=30,
                             train_mode=False)
 
+    wait_for_saves()
     for w in writers.values():
         w.close()
     now = datetime.datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
