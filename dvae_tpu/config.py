@@ -81,6 +81,10 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # Adam 3e-5 -- the reference's unused alternative, losses.py:77-125).
     "mi_estimator": (str, "club"),
     "debug_nans": (bool, False),
+    # Fuse each training epoch into ONE device program (lax.scan over the
+    # epoch's stacked batches). Per-step host dispatch dominates epoch
+    # wall-clock otherwise (~100x the compute at this model scale).
+    "fused_epoch": (bool, True),
     # Compute the (host-side) self-BLEU metric every Nth train step.
     # 1 = reference behavior (every step). On slow hosts BLEU is a
     # meaningful share of epoch wall-clock; eval epochs always compute it.

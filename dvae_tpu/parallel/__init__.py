@@ -1,4 +1,5 @@
 from dvae_tpu.parallel.mesh import (MeshPlan, make_mesh_plan, shard_batch,
-                                    replicate)
+                                    shard_stacked_batch, replicate)
 
-__all__ = ["MeshPlan", "make_mesh_plan", "shard_batch", "replicate"]
+__all__ = ["MeshPlan", "make_mesh_plan", "shard_batch",
+           "shard_stacked_batch", "replicate"]

@@ -59,3 +59,10 @@ def shard_batch(plan: MeshPlan, tree):
 def replicate(plan: MeshPlan, tree):
     sh = plan.replicated_sharding()
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_stacked_batch(plan: MeshPlan, tree):
+    """Place [S, B, ...] epoch-stacked batch arrays with axis 1 (batch)
+    sharded over 'data' (the whole-epoch lax.scan path)."""
+    sh = NamedSharding(plan.mesh, P(None, "data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

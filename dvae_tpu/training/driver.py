@@ -49,7 +49,8 @@ from dvae_tpu.training.checkpoint import (load_latest_checkpoint,
 from dvae_tpu.training.logging import (LossLogger, ScalarWriter,
                                        append_reconstructions, log_params)
 from dvae_tpu.training.step import (create_train_state, kl_weight_vector,
-                                    make_eval_step, make_train_step)
+                                    make_eval_step, make_train_epoch,
+                                    make_train_step)
 from dvae_tpu.utils import compute_bleu, set_seed, tensor2text
 from dvae_tpu.losses import get_cyclic_kl_weight
 
@@ -225,14 +226,15 @@ def _epoch_host_logging(loss_logger: LossLogger, collected: List[Dict],
 
 
 def _gather_latents(latents_steps: List[Dict], masks: List[np.ndarray]
-                    ) -> Dict[str, Dict[str, List[np.ndarray]]]:
-    out: Dict[str, Dict[str, List[np.ndarray]]] = {}
-    for latents, mask in zip(latents_steps, masks):
-        keep = mask.astype(bool)
-        for lname, per_param in latents.items():
-            slot = out.setdefault(lname, {})
-            for pname, arr in per_param.items():
-                slot.setdefault(pname, []).extend(np.asarray(arr)[keep])
+                    ) -> Dict[str, Dict[str, np.ndarray]]:
+    keep = np.concatenate([m.astype(bool) for m in masks])
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for lname in latents_steps[0]:
+        slot = out.setdefault(lname, {})
+        for pname in latents_steps[0][lname]:
+            stacked = np.concatenate(
+                [np.asarray(s[lname][pname]) for s in latents_steps])
+            slot[pname] = stacked[keep]
     return out
 
 
@@ -285,6 +287,9 @@ def run(params_file: str, verbose: bool = False) -> None:
     train_step = jax.jit(make_train_step(cfg, exp.constants,
                                          params["learn_rate"]),
                          donate_argnums=(0,))
+    train_epoch = jax.jit(make_train_epoch(cfg, exp.constants,
+                                           params["learn_rate"]),
+                          donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(cfg, exp.constants))
     recon_fns = {}
 
@@ -354,6 +359,72 @@ def run(params_file: str, verbose: bool = False) -> None:
         return writers[split]
 
     # ---------------- epoch functions ----------------
+    def trainstep_epoch_fused(state, epoch: int, pipeline,
+                              steps_per_epoch: int, total_steps: int):
+        """Whole-epoch lax.scan path (config `fused_epoch`, default): the
+        host stacks the epoch's collated batches, uploads once, and gets
+        every step's metrics/latents/predictions back in one call."""
+        from dvae_tpu.parallel import shard_stacked_batch
+        t0 = time.time()
+        loss_logger = LossLogger(writer("train"), epoch)
+        step0 = epoch * steps_per_epoch
+
+        host_batches = list(pipeline.epoch())
+        S = len(host_batches)
+
+        def stack(field):
+            return np.stack([getattr(b, field) for b in host_batches])
+
+        stacked = {
+            "noisy_X": stack("noisy_X"), "X": stack("X"),
+            "lengths": stack("lengths"),
+            "labels": {k: np.stack([b.labels[k] for b in host_batches])
+                       for k in host_batches[0].labels},
+            "example_mask": stack("example_mask"),
+        }
+        klw_seq = np.stack([
+            kl_weight_vector(cfg, params["lambdas"],
+                             float(get_cyclic_kl_weight(step0 + i,
+                                                        total_steps)))
+            for i in range(S)])
+        dev = shard_stacked_batch(exp.plan, stacked)
+        state, metrics_seq, latents_seq, preds_seq = train_epoch(
+            state, dev, jnp.asarray(klw_seq),
+            jnp.asarray(params["teacher_forcing_prob"]),
+            jnp.asarray(params["mi_loss_weight_train"]))
+        metrics_seq = jax.device_get(metrics_seq)
+        latents_seq = jax.device_get(latents_seq)
+        preds_seq = np.asarray(preds_seq)
+
+        masks = [b.example_mask for b in host_batches]
+        ids_all = [i for b in host_batches for i in b.ids]
+        collected = []
+        bleu_every = max(1, params.get("bleu_every_n_steps", 1))
+        for i in range(S):
+            m = jax.tree.map(lambda a: a[i], metrics_seq)
+            m["kl_weights"] = {n: klw_seq[i][j] for j, n in
+                               enumerate(cfg.latent_names)}
+            m["mi_loss_weight"] = params["mi_loss_weight_train"]
+            if i % bleu_every == 0:
+                keep = masks[i].astype(bool)
+                m["bleu"] = compute_bleu(
+                    host_batches[i].X[keep], preds_seq[i][keep],
+                    exp.idx2word, cfg.eos_idx)
+            collected.append(m)
+        _epoch_host_logging(loss_logger, collected, step0)
+        loss_logger.log_epoch()
+        keep = np.concatenate(masks).astype(bool)
+        gathered = {
+            ln: {pn: np.asarray(arr).reshape(-1, arr.shape[-1])[keep]
+                 for pn, arr in per_param.items()}
+            for ln, per_param in latents_seq.items()}
+        log_params(gathered, ids_all, exp.logdir, "train", epoch)
+        dt = str(datetime.timedelta(seconds=time.time() - t0))
+        logging.info(_summary_line(
+            "TRAIN", epoch, loss_logger, cfg.adversarial_loss, cfg.mi_loss,
+            extra=f" | Epoch time: {dt}"))
+        return state
+
     def trainstep_epoch(state, epoch: int, pipeline, steps_per_epoch: int,
                         total_steps: int):
         t0 = time.time()
@@ -384,6 +455,9 @@ def run(params_file: str, verbose: bool = False) -> None:
             masks.append(batch.example_mask)
             targets.append(batch.X)
             step += 1
+            if verbose and (step - step0) % 10 == 0:
+                print(f"EPOCH {epoch}: {step - step0}/{steps_per_epoch}",
+                      flush=True)
             if profile_dir and epoch == 0 and \
                     step == step0 + 1 + params.get("profile_steps", 5):
                 jax.block_until_ready(metrics["total_loss"])
@@ -459,10 +533,13 @@ def run(params_file: str, verbose: bool = False) -> None:
         steps_per_epoch = len(pipeline)
         total_steps = params["epochs"] * steps_per_epoch
         logging.info(f"Training examples: {len(exp.datasets['train'])}")
+        epoch_fn = (trainstep_epoch_fused
+                    if params.get("fused_epoch", True) and not verbose
+                    else trainstep_epoch)
         for epoch in range(start_epoch, start_epoch + params["epochs"]):
             try:
-                state = trainstep_epoch(state, epoch, pipeline,
-                                        steps_per_epoch, total_steps)
+                state = epoch_fn(state, epoch, pipeline,
+                                 steps_per_epoch, total_steps)
                 log_reconstructions(state, "train", epoch, n=20,
                                     train_mode=True)
                 if params["validate"] and "dev" in exp.datasets:
