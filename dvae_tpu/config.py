@@ -81,6 +81,11 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # Adam 3e-5 -- the reference's unused alternative, losses.py:77-125).
     "mi_estimator": (str, "club"),
     "debug_nans": (bool, False),
+    # Checkpoint every Nth epoch (the reference checkpoints every epoch;
+    # the final trained epoch is always checkpointed). The device->host
+    # state copy (~4x model size) can dominate wall-clock on hosts with
+    # slow device links.
+    "checkpoint_every_n_epochs": (int, 1),
     # Fuse each training epoch into ONE device program (lax.scan over the
     # epoch's stacked batches). Per-step host dispatch dominates epoch
     # wall-clock otherwise (~100x the compute at this model scale).

@@ -536,6 +536,8 @@ def run(params_file: str, verbose: bool = False) -> None:
         epoch_fn = (trainstep_epoch_fused
                     if params.get("fused_epoch", True) and not verbose
                     else trainstep_epoch)
+        ckpt_every = max(1, params.get("checkpoint_every_n_epochs", 1))
+        last_epoch = start_epoch + params["epochs"] - 1
         for epoch in range(start_epoch, start_epoch + params["epochs"]):
             try:
                 state = epoch_fn(state, epoch, pipeline,
@@ -546,8 +548,11 @@ def run(params_file: str, verbose: bool = False) -> None:
                     evalstep_epoch(state, epoch, "dev")
                     log_reconstructions(state, "dev", epoch, n=20,
                                         train_mode=False)
-                logging.info(f"Saving model checkpoint to {exp.ckpt_dir}")
-                save_checkpoint(state, exp.ckpt_dir, epoch)
+                if (epoch - start_epoch) % ckpt_every == 0 \
+                        or epoch == last_epoch:
+                    logging.info(
+                        f"Saving model checkpoint to {exp.ckpt_dir}")
+                    save_checkpoint(state, exp.ckpt_dir, epoch)
                 start_epoch = epoch
             except KeyboardInterrupt:
                 logging.warning(f"Training interrupted at epoch {epoch}!")

@@ -25,17 +25,15 @@ import numpy as np
 
 
 class ScalarWriter:
-    """TensorBoard writer with a JSONL fallback (torchtext/texar-free)."""
+    """TensorBoard writer (fast built-in encoder, see tb_writer.py) with a
+    JSONL mirror."""
 
     def __init__(self, log_dir: str, use_tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self._tb = None
         if use_tensorboard:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
-                self._tb = SummaryWriter(log_dir=log_dir)
-            except Exception:
-                self._tb = None
+            from dvae_tpu.training.tb_writer import MiniSummaryWriter
+            self._tb = MiniSummaryWriter(log_dir)
         self._jsonl_path = os.path.join(log_dir, "scalars.jsonl")
         self._jsonl = open(self._jsonl_path, "a")
 
