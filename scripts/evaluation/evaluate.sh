@@ -1,30 +1,39 @@
-#!/bin/bash
-# Batch evaluation driver (reference evaluate.sh): run disentanglement
-# compute + summarize for every experiment under LOGDIR, skipping completed.
+#!/usr/bin/env bash
+# Batch evaluation driver: compute + summarize disentanglement (MIG) for
+# every experiment directory under a log root, skipping completed ones.
+# Capability match for the reference's evaluate.sh batch loop.
+#
+# Usage: evaluate.sh LOGDIR DATADIR DATASET [NUM_RESAMPLES]
+set -u
 
-if [ "$1" == "-h" ] || [ "$#" -ne 3 ]; then
-    echo "Usage: $(basename $0) logdir datadir dataset"
+usage() { echo "Usage: $(basename "$0") logdir datadir dataset [num_resamples]"; }
+
+if [[ "${1:-}" == "-h" || $# -lt 3 ]]; then
+    usage
     exit 0
 fi
 
-LOGDIR=$1
-DATADIR=$2
-DATASET=$3
+logroot=$1
+datadir=$2
+dataset=$3
+resamples=${4:-30}
+script_dir=$(dirname "$0")
 
-echo "$LOGDIR, $DATADIR, $DATASET"
-
-for dirname in ${LOGDIR}/*; do
-    if [ ! -d "${dirname}/metadata" ]; then
-        echo "Warning: no metadata/ directory at ${dirname}. Skipping..."
+for exp_dir in "$logroot"/*/; do
+    meta="$exp_dir/metadata"
+    summary="$exp_dir/evaluation/summary_${dataset}.txt"
+    if [[ ! -d "$meta" ]]; then
+        echo "skip (no metadata): $exp_dir"
         continue
     fi
-    if [ -f "${dirname}/evaluation/summary_${DATASET}.txt" ]; then
-        echo "Warning: Evaluation for ${dirname}/${DATASET} already complete. Skipping..."
+    if [[ -f "$summary" ]]; then
+        echo "skip (already evaluated): $exp_dir"
         continue
     fi
-    echo "Computing results for ${dirname}..."
-    python scripts/evaluation/disentanglement.py compute --num_resamples 30 \
-        "${dirname}/metadata" "${DATADIR}" "${DATASET}" "${dirname}/evaluation/"
-    python scripts/evaluation/disentanglement.py summarize "${DATASET}" \
-        "${dirname}/evaluation/" > "${dirname}/evaluation/summary_${DATASET}.txt"
+    echo "evaluating: $exp_dir"
+    python "$script_dir/disentanglement.py" compute \
+        --num_resamples "$resamples" \
+        "$meta" "$datadir" "$dataset" "$exp_dir/evaluation/" || continue
+    python "$script_dir/disentanglement.py" summarize \
+        "$dataset" "$exp_dir/evaluation/" > "$summary"
 done
