@@ -76,16 +76,20 @@ class EvalSession:
                 for row in np.asarray(token_rows)]
 
     # ---------- fused programs ----------
-    def consistency_program(self):
+    def consistency_program(self, num_resamples: int = 1):
         """forward (train-mode dropout+resampling, reference
         consistency.py:152) -> dsc preds -> re-encode the predictions with
         lengths inferred by counting EOS/PAD (consistency.py:186-190) ->
-        dsc preds again. One XLA program per call."""
-        if "consistency" in self._programs:
-            return self._programs["consistency"]
+        dsc preds again. The resample axis is batched ON DEVICE via
+        lax.scan (the reference looped 30 resamples x 2 forwards in Python,
+        SURVEY.md hard-part #6): one XLA program per input batch returns
+        [R, B(, T)]-stacked predictions."""
+        key_ = ("consistency", num_resamples)
+        if key_ in self._programs:
+            return self._programs[key_]
         cfg, constants = self.cfg, self.exp.constants
 
-        def prog(params, X, lengths, seed):
+        def one_resample(params, X, lengths, seed):
             key = jax.random.fold_in(self._base_key, seed)
             k1, k2 = jax.random.split(key)
             out = forward(params, constants, cfg, X, lengths, k1,
@@ -101,8 +105,16 @@ class EvalSession:
                          for n in cfg.dsc_names}
             return preds_x, preds_hat, xhat
 
-        self._programs["consistency"] = jax.jit(prog)
-        return self._programs["consistency"]
+        def prog(params, X, lengths, base_seed):
+            def body(_, r):
+                return None, one_resample(params, X, lengths,
+                                          base_seed + r)
+            _, outs = jax.lax.scan(body, None,
+                                   jnp.arange(num_resamples))
+            return outs  # leaves stacked on the resample axis
+
+        self._programs[key_] = jax.jit(prog)
+        return self._programs[key_]
 
     def transfer_program(self, latent_name: str, from_source: bool):
         """Encode target (and optionally source) batch, swap one latent's z,
@@ -167,7 +179,7 @@ def compute_consistency(params_file: str, outdir: str, dataset: str,
 
     session = EvalSession(params_file)
     cfg = session.cfg
-    prog = session.consistency_program()
+    prog = session.consistency_program(num_resamples)
 
     true_labels = defaultdict(list)
     latent_predictions = defaultdict(
@@ -180,19 +192,18 @@ def compute_consistency(params_file: str, outdir: str, dataset: str,
         keep = batch.example_mask.astype(bool)
         for name in cfg.dsc_names:
             true_labels[name].extend(batch.labels[name][keep].tolist())
-        X = jnp.asarray(batch.X)
-        lengths = jnp.asarray(batch.lengths)
+        # all resamples in one device call; leaves come back [R, B(, T)]
+        preds_x, preds_hat, xhat = jax.device_get(prog(
+            session.state.params, jnp.asarray(batch.X),
+            jnp.asarray(batch.lengths), jnp.asarray(bi * 10007)))
         for r in range(num_resamples):
-            preds_x, preds_hat, xhat = prog(
-                session.state.params, X, lengths,
-                jnp.asarray(bi * 10007 + r))
-            xhat = np.asarray(xhat)
             for name in cfg.dsc_names:
                 latent_predictions[name][r].extend(
-                    np.asarray(preds_x[name])[keep].tolist())
+                    np.asarray(preds_x[name][r])[keep].tolist())
                 latent_predictions_hat[name][r].extend(
-                    np.asarray(preds_hat[name])[keep].tolist())
-            bleus[r].append(compute_bleu(batch.X[keep], xhat[keep],
+                    np.asarray(preds_hat[name][r])[keep].tolist())
+            bleus[r].append(compute_bleu(batch.X[keep],
+                                         np.asarray(xhat[r])[keep],
                                          session.exp.idx2word,
                                          cfg.eos_idx))
         if verbose:

@@ -49,8 +49,8 @@ from dvae_tpu.training.checkpoint import (load_latest_checkpoint,
 from dvae_tpu.training.logging import (LossLogger, ScalarWriter,
                                        append_reconstructions, log_params)
 from dvae_tpu.training.step import (create_train_state, kl_weight_vector,
-                                    make_eval_step, make_train_epoch,
-                                    make_train_step)
+                                    make_eval_epoch, make_eval_step,
+                                    make_train_epoch, make_train_step)
 from dvae_tpu.utils import compute_bleu, set_seed, tensor2text
 from dvae_tpu.losses import get_cyclic_kl_weight
 
@@ -291,6 +291,7 @@ def run(params_file: str, verbose: bool = False) -> None:
                                            params["learn_rate"]),
                           donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(cfg, exp.constants))
+    eval_epoch = jax.jit(make_eval_epoch(cfg, exp.constants))
     recon_fns = {}
 
     def recon_fn(train_mode: bool):
@@ -492,35 +493,45 @@ def run(params_file: str, verbose: bool = False) -> None:
         return state
 
     def evalstep_epoch(state, epoch: int, name: str = "dev"):
+        from dvae_tpu.parallel import shard_stacked_batch
         loss_logger = LossLogger(writer(name), epoch)
         pipeline = exp.eval_pipeline(name)
-        collected, latents_steps, preds_steps = [], [], []
-        ids_all, masks, targets = [], [], []
+        host_batches = list(pipeline.epoch())
+        S = len(host_batches)
         klw = kl_weight_vector(cfg, params["lambdas"], 1.0)  # run.py:373-376
-        for i, batch in enumerate(pipeline.epoch()):
-            db = exp.device_batch(batch)
-            metrics, latents, preds = eval_step(
-                state, db, jnp.asarray(klw),
-                jnp.asarray(params["mi_loss_weight_eval"]),
-                jnp.asarray(i))
-            collected.append(metrics)
-            latents_steps.append(latents)
-            preds_steps.append(preds)
-            ids_all.extend(batch.ids)
-            masks.append(batch.example_mask)
-            targets.append(batch.X)
-        collected = jax.device_get(collected)
-        latents_steps = jax.device_get(latents_steps)
-        preds_steps = jax.device_get(preds_steps)
-        for i, preds in enumerate(preds_steps):
+        stacked = {
+            "noisy_X": np.stack([b.noisy_X for b in host_batches]),
+            "X": np.stack([b.X for b in host_batches]),
+            "lengths": np.stack([b.lengths for b in host_batches]),
+            "labels": {k: np.stack([b.labels[k] for b in host_batches])
+                       for k in host_batches[0].labels},
+            "example_mask": np.stack([b.example_mask
+                                      for b in host_batches]),
+        }
+        dev = shard_stacked_batch(exp.plan, stacked)
+        metrics_seq, latents_seq, preds_seq = eval_epoch(
+            state, dev, jnp.asarray(klw),
+            jnp.asarray(params["mi_loss_weight_eval"]),
+            jnp.arange(S))
+        metrics_seq = jax.device_get(metrics_seq)
+        latents_seq = jax.device_get(latents_seq)
+        preds_seq = np.asarray(preds_seq)
+        masks = [b.example_mask for b in host_batches]
+        ids_all = [i for b in host_batches for i in b.ids]
+        for i in range(S):
+            m = jax.tree.map(lambda a: a[i], metrics_seq)
             keep = masks[i].astype(bool)
-            collected[i]["bleu"] = compute_bleu(
-                targets[i][keep], np.asarray(preds)[keep], exp.idx2word,
+            m["bleu"] = compute_bleu(
+                host_batches[i].X[keep], preds_seq[i][keep], exp.idx2word,
                 cfg.eos_idx)
-            loss_logger.update(collected[i])
+            loss_logger.update(m)
         loss_logger.log_epoch()
-        log_params(_gather_latents(latents_steps, masks), ids_all,
-                   exp.logdir, name, epoch)
+        keep = np.concatenate(masks).astype(bool)
+        gathered = {
+            ln: {pn: np.asarray(arr).reshape(-1, arr.shape[-1])[keep]
+                 for pn, arr in per_param.items()}
+            for ln, per_param in latents_seq.items()}
+        log_params(gathered, ids_all, exp.logdir, name, epoch)
         logging.info(_summary_line(
             name.upper(), epoch, loss_logger, cfg.adversarial_loss,
             cfg.mi_loss))

@@ -306,3 +306,22 @@ def make_eval_step(cfg: ModelConfig, constants: Dict):
             out["token_predictions"]
 
     return eval_step
+
+
+def make_eval_epoch(cfg: ModelConfig, constants: Dict):
+    """Whole-eval-epoch fusion: one device program scanning eval_step over
+    the split's stacked batches (same rationale as make_train_epoch)."""
+    eval_step = make_eval_step(cfg, constants)
+
+    def epoch_fn(state: TrainState, batches: Dict, kl_weights_vec,
+                 mi_weight, seeds):
+        def body(_, xs):
+            batch, seed = xs
+            return None, eval_step(state, batch, kl_weights_vec, mi_weight,
+                                   seed)
+
+        _, (metrics_seq, latents_seq, preds_seq) = jax.lax.scan(
+            body, None, (batches, seeds))
+        return metrics_seq, latents_seq, preds_seq
+
+    return epoch_fn
