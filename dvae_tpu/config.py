@@ -80,6 +80,7 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # reference losses.py:10-74) or "club_sample" (sampled negatives,
     # Adam 3e-5 -- the reference's unused alternative, losses.py:77-125).
     "mi_estimator": (str, "club"),
+    "fused_decoder_ce": (bool, True),
     "debug_nans": (bool, False),
     # Checkpoint every Nth epoch (the reference checkpoints every epoch;
     # the final trained epoch is always checkpointed). The device->host
@@ -197,6 +198,10 @@ class ModelConfig:
     # or "auto" (pallas on TPU when the shape fits VMEM, else scan).
     lstm_backend: str = "auto"
     mi_estimator: str = "club"  # "club" | "club_sample"
+    # Fuse the decoder's vocab projection + CE + sampling into a custom-VJP
+    # op that never materializes/saves [B, T, V] logits (ops/fused_ce.py).
+    # Identical math and (same key) identical samples to the logits path.
+    fused_decoder_ce: bool = True
 
     @property
     def total_latent_dim(self) -> int:
@@ -296,4 +301,5 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         adv_grad_mode=params.get("adv_grad_mode", "reference"),
         lstm_backend=params.get("lstm_backend", "auto"),
         mi_estimator=params.get("mi_estimator", "club"),
+        fused_decoder_ce=params.get("fused_decoder_ce", True),
     )

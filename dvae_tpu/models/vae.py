@@ -249,16 +249,14 @@ def compute_hidden(main: Dict, cfg: ModelConfig, z: jnp.ndarray
     return h, c
 
 
-def decoder_step(main: Dict, constants: Dict, cfg: ModelConfig,
-                 token: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
-                 key, train: bool
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One decoder step: embed -> dropout -> L-layer LSTM -> vocab logits.
-
-    Matches the reference per-token decoder call (model.py:152-165): fresh
-    dropout masks per step on the embedded input and between LSTM layers.
-    Returns (logits [B, V], h', c').
-    """
+def decoder_hidden_step(main: Dict, constants: Dict, cfg: ModelConfig,
+                        token: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+                        key, train: bool
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder step up to (but excluding) the vocab projection:
+    embed -> dropout -> L-layer LSTM. Returns (top hidden [B, H], h', c').
+    Fresh dropout masks per step, matching the reference's per-token
+    decoder calls (model.py:152-165)."""
     k_emb, key = jax.random.split(key)
     x = _embedding(main, constants, "dec")[token]          # [B, E]
     x = dropout(x, cfg.decoder_dropout, k_emb, train)
@@ -274,8 +272,18 @@ def decoder_step(main: Dict, constants: Dict, cfg: ModelConfig,
         if l < cfg.dec_layers - 1:
             k_d, key = jax.random.split(key)
             x = dropout(x, cfg.decoder_dropout, k_d, train)
+    return x, jnp.stack(new_h), jnp.stack(new_c)
+
+
+def decoder_step(main: Dict, constants: Dict, cfg: ModelConfig,
+                 token: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+                 key, train: bool
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """decoder_hidden_step + vocab projection: (logits [B, V], h', c')."""
+    x, new_h, new_c = decoder_hidden_step(main, constants, cfg, token, h, c,
+                                          key, train)
     logits = linear(x, main["dec"]["out"], cfg.compute_dtype)
-    return logits, jnp.stack(new_h), jnp.stack(new_c)
+    return logits, new_h, new_c
 
 
 def _sos_first_step(cfg: ModelConfig, B: int, T: int):
@@ -325,6 +333,57 @@ def decode_teacher_forced(main: Dict, constants: Dict, cfg: ModelConfig,
         [preds0[:, None].astype(inputs.dtype),
          jnp.swapaxes(preds_seq, 0, 1)], axis=1)
     return logits, preds
+
+
+def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
+                             z: jnp.ndarray, inputs: jnp.ndarray,
+                             targets: jnp.ndarray, lengths: jnp.ndarray,
+                             key, tf_prob, train: bool
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused decode + reconstruction CE: like decode_teacher_forced but the
+    [B, V] logits per step are consumed on the spot by a custom-VJP
+    projection+CE+sampling op (ops/fused_ce.py) and never stacked into
+    [B, T, V] or saved for backward. Teacher forcing feeds `inputs` (the
+    possibly-noisy stream, reference semantics); the CE targets are the
+    clean `targets`, time-masked by `lengths` (texar reduction semantics).
+
+    Returns (per-example CE sum over valid timesteps [B], predictions
+    [B, T]). Given the same key, predictions are bit-identical to
+    decode_teacher_forced's.
+    """
+    from dvae_tpu.ops.fused_ce import out_proj_ce_sample, sos_position_ce
+
+    B, T = inputs.shape
+    h, c = compute_hidden(main, cfg, z)
+    prev0 = jnp.full((B,), cfg.sos_idx, dtype=inputs.dtype)
+    out_w = main["dec"]["out"]["w"]
+    out_b = main["dec"]["out"]["b"]
+
+    def step(carry, t):
+        h, c, prev, ce_acc = carry
+        kt = jax.random.fold_in(key, t)
+        k_step, k_tf, k_samp = jax.random.split(kt, 3)
+        x, h, c = decoder_hidden_step(main, constants, cfg, prev, h, c,
+                                      k_step, train)
+        target_t = jax.lax.dynamic_index_in_dim(targets, t, axis=1,
+                                                keepdims=False)
+        ce_t, sampled = out_proj_ce_sample(x, out_w, out_b, target_t,
+                                           k_samp, cfg.compute_dtype)
+        ce_acc = ce_acc + ce_t * (t < lengths)
+        teacher = jax.lax.dynamic_index_in_dim(inputs, t, axis=1,
+                                               keepdims=False)
+        coin = jax.random.bernoulli(k_tf, tf_prob)
+        nxt = jnp.where(coin, teacher, sampled.astype(inputs.dtype))
+        return (h, c, nxt, ce_acc), nxt
+
+    (_, _, _, ce_acc), preds_seq = jax.lax.scan(
+        step, (h, c, prev0, jnp.zeros((B,), jnp.float32)),
+        jnp.arange(1, T))
+    # position 0: constant CE of the hardcoded SOS one-hot row
+    ce = ce_acc + sos_position_ce(cfg.vocab_size)
+    preds0 = jnp.full((B, 1), cfg.sos_idx, dtype=inputs.dtype)
+    preds = jnp.concatenate([preds0, jnp.swapaxes(preds_seq, 0, 1)], axis=1)
+    return ce, preds
 
 
 def sample(main: Dict, constants: Dict, cfg: ModelConfig, z: jnp.ndarray,
@@ -402,6 +461,36 @@ def forward(params: Dict, constants: Dict, cfg: ModelConfig,
     logits, preds = decode_teacher_forced(
         params["main"], constants, cfg, z, inputs, k_dec, tf_prob, train)
     return {"decoder_logits": logits,
+            "latent_params": latent_params,
+            "dsc_logits": dsc_logits,
+            "adv_logits": adv_logits,
+            "token_predictions": preds,
+            "context": context}
+
+
+def forward_with_ce(params: Dict, constants: Dict, cfg: ModelConfig,
+                    inputs: jnp.ndarray, targets: jnp.ndarray,
+                    lengths: jnp.ndarray, key, tf_prob, train: bool,
+                    sample_z: bool = True) -> Dict:
+    """forward() with the decode half fused into the reconstruction CE
+    (decode_teacher_forced_ce): identical latent/head/prediction values for
+    the same key, but no [B, T, V] logits are ever materialized. Returns
+    "recon_ce" [B] (per-example sum over valid timesteps) in place of
+    "decoder_logits"."""
+    k_enc, k_lat, k_dec = jax.random.split(key, 3)
+    context = encode(params["main"], constants, cfg, inputs, lengths,
+                     k_enc, train)
+    latent_params = compute_latent_params(params["main"], cfg, context,
+                                          k_lat, sample_z=sample_z)
+    dsc_logits = discriminator_logits(params["main"], cfg, latent_params)
+    zs = {name: latent_params[name].z for name in cfg.latent_names}
+    adv_logits = adversary_logits(params["adv"], cfg, zs) \
+        if cfg.adversarial_loss else {}
+    z = concat_z(latent_params, cfg)
+    recon_ce, preds = decode_teacher_forced_ce(
+        params["main"], constants, cfg, z, inputs, targets, lengths, k_dec,
+        tf_prob, train)
+    return {"recon_ce": recon_ce,
             "latent_params": latent_params,
             "dsc_logits": dsc_logits,
             "adv_logits": adv_logits,

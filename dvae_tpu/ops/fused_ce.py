@@ -1,0 +1,74 @@
+"""Fused output-projection + softmax-CE + categorical sampling.
+
+In the baseline decode path, each scan step materializes [B, V] logits
+which are stacked into a [B, T, V] tensor (vocab 20k -> ~174 MB f32 at
+flagship scale), saved as autodiff residuals, and re-read by the CE
+backward. But logits are consumed by exactly three reductions: the
+log-sum-exp, the target logit, and the Gumbel-argmax sample. This op fuses
+all three and REMATERIALIZES the logits in the backward pass instead of
+saving them (custom VJP): residuals shrink from [B, V] per step to [B, H],
+trading one extra [B,H]x[H,V] matmul in backward for the round-trip of the
+largest tensor in the model.
+
+Numerics: ce = logsumexp(logits) - logits[target], exactly the masked CE
+the loss layer computes from materialized logits; sampling uses
+jax.random.categorical (identical distribution and, given the same key,
+identical draws to the baseline path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dvae_tpu.models.layers import dot
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def out_proj_ce_sample(h, w, b, target, key, compute_dtype="float32"):
+    """h [B,H], w [V,H], b [V], target [B] int, key -> (ce [B], sampled [B]).
+
+    ce = logsumexp(h@w.T + b) - (h@w.T + b)[target]; sampled ~ softmax.
+    """
+    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype)
+    return ce, sampled
+
+
+def _forward(h, w, b, target, key, compute_dtype):
+    logits = dot(h, w, compute_dtype) + b
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, target[:, None].astype(jnp.int32),
+                              axis=-1)[:, 0]
+    sampled = jax.random.categorical(key, logits).astype(jnp.int32)
+    return lse - tgt, sampled, logits
+
+
+def _fwd(h, w, b, target, key, compute_dtype):
+    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype)
+    # residuals exclude the logits -- that is the whole point
+    return (ce, sampled), (h, w, b, target)
+
+
+def _bwd(compute_dtype, res, grads):
+    h, w, b, target = res
+    g_ce, _g_sampled = grads  # sampling is non-differentiable
+    logits = dot(h, w, compute_dtype) + b        # rematerialized
+    p = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(target, logits.shape[-1], dtype=p.dtype)
+    dlogits = g_ce[:, None] * (p - onehot)       # [B, V]
+    dh = dot(dlogits, w.T, compute_dtype)        # [B, H]
+    dw = jnp.einsum("bv,bh->vh", dlogits, h)
+    db = dlogits.sum(axis=0)
+    return dh, dw, db, None, None
+
+
+out_proj_ce_sample.defvjp(_fwd, _bwd)
+
+
+def sos_position_ce(vocab_size: int, dtype=jnp.float32):
+    """CE contribution of position 0's hardcoded SOS one-hot 'logits' row
+    (value 1.0 at sos, 0 elsewhere -- reference model.py:452-454): a
+    constant log(e + V - 1) - 1."""
+    return jnp.asarray(jnp.log(jnp.e + vocab_size - 1.0) - 1.0, dtype)

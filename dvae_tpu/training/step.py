@@ -109,15 +109,23 @@ def _all_losses(cfg: ModelConfig, params: Dict, constants: Dict, batch: Dict,
     shielded = {"main": params["main"],
                 "adv": jax.lax.stop_gradient(params["adv"]),
                 "mi": jax.lax.stop_gradient(params["mi"])}
-    out = forward(shielded, constants, cfg, batch["noisy_X"],
-                  batch["lengths"], key, tf_prob, train=train)
+    if cfg.fused_decoder_ce:
+        from dvae_tpu.models.vae import forward_with_ce
+        out = forward_with_ce(shielded, constants, cfg, batch["noisy_X"],
+                              batch["X"], batch["lengths"], key, tf_prob,
+                              train=train)
+        recon = (out["recon_ce"] * mask).sum() / jnp.maximum(mask.sum(),
+                                                             1.0)
+    else:
+        out = forward(shielded, constants, cfg, batch["noisy_X"],
+                      batch["lengths"], key, tf_prob, train=train)
+        recon = L.reconstruction_loss(batch["X"], out["decoder_logits"],
+                                      batch["lengths"], mask)
     lp = out["latent_params"]
 
     kl_weights = {name: kl_weights_vec[i]
                   for i, name in enumerate(cfg.latent_names)}
     metrics: Dict[str, Any] = {}
-    recon = L.reconstruction_loss(batch["X"], out["decoder_logits"],
-                                  batch["lengths"], mask)
     metrics["reconstruction_loss"] = recon
 
     kl = L.compute_kl_divergence_losses(cfg, lp, kl_weights, mask)

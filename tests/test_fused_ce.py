@@ -1,0 +1,142 @@
+"""Fused projection+CE+sampling op: value, gradient, and prediction parity
+with the materialized-logits path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dvae_tpu.models import init_vae_params
+from dvae_tpu.models.vae import (decode_teacher_forced,
+                                 decode_teacher_forced_ce, forward,
+                                 forward_with_ce)
+from dvae_tpu.ops.fused_ce import out_proj_ce_sample, sos_position_ce
+from dvae_tpu import losses as L
+from tests.test_train_step import make_batch, make_cfg
+
+
+def test_op_matches_explicit_logits():
+    rng = np.random.default_rng(0)
+    B, H, V = 6, 8, 31
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, V, size=B).astype(np.int32))
+    key = jax.random.PRNGKey(3)
+
+    ce, sampled = out_proj_ce_sample(h, w, b, target, key)
+    logits = h @ w.T + b
+    want_ce = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+        logits, target[:, None], axis=-1)[:, 0]
+    want_sampled = jax.random.categorical(key, logits)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(want_ce),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sampled),
+                                  np.asarray(want_sampled))
+
+
+def test_op_gradient_matches_explicit():
+    rng = np.random.default_rng(1)
+    B, H, V = 5, 7, 23
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, V, size=B).astype(np.int32))
+    key = jax.random.PRNGKey(5)
+    weights = jnp.asarray(rng.normal(size=B).astype(np.float32))
+
+    def loss_fused(h, w, b):
+        ce, _ = out_proj_ce_sample(h, w, b, target, key)
+        return (ce * weights).sum()
+
+    def loss_ref(h, w, b):
+        logits = h @ w.T + b
+        ce = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+            logits, target[:, None], axis=-1)[:, 0]
+        return (ce * weights).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(h, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sos_position_ce_matches_onehot_row():
+    V = 23
+    logits0 = jnp.zeros((V,)).at[2].set(1.0)
+    want = float(jax.nn.logsumexp(logits0) - logits0[2])
+    np.testing.assert_allclose(float(sos_position_ce(V)), want, rtol=1e-6)
+
+
+def test_decode_ce_matches_logits_path():
+    cfg = make_cfg(encoder_dropout=0.0, decoder_dropout=0.0)
+    params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, B=8, seed=2)
+    z = jnp.asarray(np.random.default_rng(0).normal(
+        size=(8, cfg.total_latent_dim)).astype(np.float32))
+    key = jax.random.PRNGKey(9)
+    tf = jnp.asarray(0.5)
+
+    logits, preds_ref = decode_teacher_forced(
+        params["main"], constants, cfg, z, batch["noisy_X"], key, tf, False)
+    ce_ref = L.reconstruction_loss(batch["X"], logits, batch["lengths"],
+                                   batch["example_mask"])
+    ce, preds = decode_teacher_forced_ce(
+        params["main"], constants, cfg, z, batch["noisy_X"], batch["X"],
+        batch["lengths"], key, tf, False)
+    # bit-identical predictions (same keys drive the same sampler)
+    np.testing.assert_array_equal(np.asarray(preds), np.asarray(preds_ref))
+    got = float((ce * batch["example_mask"]).sum()
+                / batch["example_mask"].sum())
+    np.testing.assert_allclose(got, float(ce_ref), rtol=1e-5)
+
+
+def test_forward_with_ce_parity():
+    cfg = make_cfg()
+    params, constants = init_vae_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(cfg, B=8, seed=3)
+    key = jax.random.PRNGKey(11)
+    o1 = forward(params, constants, cfg, batch["noisy_X"],
+                 batch["lengths"], key, jnp.asarray(0.5), train=True)
+    o2 = forward_with_ce(params, constants, cfg, batch["noisy_X"],
+                         batch["X"], batch["lengths"], key,
+                         jnp.asarray(0.5), train=True)
+    np.testing.assert_array_equal(np.asarray(o1["token_predictions"]),
+                                  np.asarray(o2["token_predictions"]))
+    np.testing.assert_allclose(
+        np.asarray(o1["latent_params"]["content"].mu),
+        np.asarray(o2["latent_params"]["content"].mu), rtol=1e-6)
+
+
+def test_train_step_fused_vs_logits_path():
+    """One train step must produce the same losses and updated params
+    under both decoder paths."""
+    from dvae_tpu.training import create_train_state, kl_weight_vector, \
+        make_train_step
+    batch = make_batch(make_cfg(), B=8, seed=4)
+    klw_cfg = make_cfg(encoder_dropout=0.0, decoder_dropout=0.0)
+    results = {}
+    for fused in (True, False):
+        cfg = dataclasses.replace(klw_cfg, fused_decoder_ce=fused)
+        params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
+        state = create_train_state(params, 1e-3, 0)
+        step = jax.jit(make_train_step(cfg, constants, 1e-3))
+        klw = jnp.asarray(kl_weight_vector(cfg, {"default": 0.01}, 1.0))
+        new_state, metrics, _, preds = step(state, batch, klw,
+                                            jnp.asarray(0.5),
+                                            jnp.asarray(0.01))
+        results[fused] = (float(metrics["total_loss"]),
+                          float(metrics["reconstruction_loss"]),
+                          np.asarray(preds),
+                          np.asarray(new_state.params["main"]["z2h"]["w"]))
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(results[True][2], results[False][2])
+    np.testing.assert_allclose(results[True][3], results[False][3],
+                               rtol=1e-4, atol=1e-6)
