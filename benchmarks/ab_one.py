@@ -9,7 +9,9 @@ variant = sys.argv[1]
 kw = {"scan_f32": dict(lstm_backend="scan"),
       "pallas_f32": dict(lstm_backend="pallas"),
       "scan_bf16": dict(lstm_backend="scan", compute_dtype="bfloat16"),
-      "pallas_bf16": dict(lstm_backend="pallas", compute_dtype="bfloat16")}[variant]
+      "pallas_bf16": dict(lstm_backend="pallas", compute_dtype="bfloat16"),
+      "pallas_ce": dict(lstm_backend="pallas", fused_ce_backend="pallas"),
+      "xla_ce": dict(lstm_backend="pallas", fused_ce_backend="xla")}[variant]
 B = 128
 base = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2, max_length=17)
 cfg = dataclasses.replace(base, **kw)

@@ -81,6 +81,7 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # Adam 3e-5 -- the reference's unused alternative, losses.py:77-125).
     "mi_estimator": (str, "club"),
     "fused_decoder_ce": (bool, True),
+    "fused_ce_backend": (str, "xla"),
     "debug_nans": (bool, False),
     # Checkpoint every Nth epoch (the reference checkpoints every epoch;
     # the final trained epoch is always checkpointed). The device->host
@@ -202,6 +203,11 @@ class ModelConfig:
     # op that never materializes/saves [B, T, V] logits (ops/fused_ce.py).
     # Identical math and (same key) identical samples to the logits path.
     fused_decoder_ce: bool = True
+    # Backend for the fused CE: "xla" (transient logits, rematerialized
+    # backward), "pallas" (streaming vocab tiles, ops/pallas_ce.py -- no
+    # [B, V] tensor anywhere; samples use the in-kernel PRNG so draws are
+    # distribution-equal but not bit-equal to the XLA path), or "auto".
+    fused_ce_backend: str = "xla"
 
     @property
     def total_latent_dim(self) -> int:
@@ -302,4 +308,5 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         lstm_backend=params.get("lstm_backend", "auto"),
         mi_estimator=params.get("mi_estimator", "club"),
         fused_decoder_ce=params.get("fused_decoder_ce", True),
+        fused_ce_backend=params.get("fused_ce_backend", "xla"),
     )

@@ -359,6 +359,19 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
     out_w = main["dec"]["out"]["w"]
     out_b = main["dec"]["out"]["b"]
 
+    if cfg.fused_ce_backend not in ("xla", "pallas", "auto"):
+        raise ValueError(
+            f"unknown fused_ce_backend {cfg.fused_ce_backend!r} "
+            "(expected 'xla', 'pallas', or 'auto')")
+    use_pallas_ce = False
+    if cfg.fused_ce_backend in ("pallas", "auto"):
+        from dvae_tpu.ops.pallas_ce import pallas_ce_supported
+        ok = pallas_ce_supported(B, cfg.hidden_dim, cfg.vocab_size)
+        if cfg.fused_ce_backend == "pallas" and not ok:
+            raise ValueError("pallas CE unsupported for these shapes")
+        use_pallas_ce = ok and (cfg.fused_ce_backend == "pallas"
+                                or jax.default_backend() == "tpu")
+
     def step(carry, t):
         h, c, prev, ce_acc = carry
         kt = jax.random.fold_in(key, t)
@@ -367,8 +380,16 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
                                       k_step, train)
         target_t = jax.lax.dynamic_index_in_dim(targets, t, axis=1,
                                                 keepdims=False)
-        ce_t, sampled = out_proj_ce_sample(x, out_w, out_b, target_t,
-                                           k_samp, cfg.compute_dtype)
+        if use_pallas_ce:
+            from dvae_tpu.ops.pallas_ce import pallas_ce_sample
+            seed = jax.random.randint(k_samp, (), 0, 2 ** 31 - 1,
+                                      dtype=jnp.int32)
+            ce_t, sampled = pallas_ce_sample(
+                x, out_w, out_b, target_t, seed,
+                jax.default_backend() != "tpu")
+        else:
+            ce_t, sampled = out_proj_ce_sample(x, out_w, out_b, target_t,
+                                               k_samp, cfg.compute_dtype)
         ce_acc = ce_acc + ce_t * (t < lengths)
         teacher = jax.lax.dynamic_index_in_dim(inputs, t, axis=1,
                                                keepdims=False)

@@ -1,0 +1,274 @@
+"""Pallas streaming softmax-CE + Gumbel-max sampling kernel.
+
+The XLA fused-CE op (ops/fused_ce.py) already avoids SAVING the [B, V]
+logits, but still materializes them transiently per step. This kernel goes
+further, flash-attention style: the vocabulary is processed in VMEM-sized
+tiles streamed from HBM, carrying
+  - an online log-sum-exp (running max + rescaled sum),
+  - the target logit (gathered when its tile passes by),
+  - a running Gumbel-argmax (logits + Gumbel noise from the on-core PRNG),
+so no [B, V] tensor ever exists anywhere. The backward kernel recomputes
+each tile's softmax from the saved log-sum-exp (a [B]-sized residual) and
+accumulates dh on-chip while streaming dW tiles out.
+
+Sampling note: draws use the TPU core PRNG (Gumbel-max over tiles), which
+is a correct categorical sampler but a DIFFERENT stream than
+jax.random.categorical -- predictions are distribution-equivalent, not
+bit-equal, to the XLA path. CE values and gradients are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_V = 2048
+_NEG_INF = -1e30
+
+
+def pallas_ce_supported(B: int, H: int, V: int) -> bool:
+    if H % 128 != 0:
+        return False
+    if B % 8 != 0:
+        return False
+    # h [B,H] + w tile [H,TILE_V] (x2 buffering) + logits tile [B,TILE_V]
+    vmem = 4 * (B * H + 2 * H * _TILE_V + 2 * B * _TILE_V + 8 * B)
+    return vmem <= 14 * 1024 * 1024
+
+
+# ----------------------------- forward ------------------------------
+
+def _hash_uniform(seed, col, row):
+    """Counter-based uniform(0,1) noise from (seed, global col, row) --
+    a murmur3-style integer finalizer. Portable across the TPU backend and
+    interpreter mode (unlike the pltpu PRNG, which has no CPU lowering)."""
+    x = (col.astype(jnp.uint32) * jnp.uint32(2654435761)
+         + row.astype(jnp.uint32) * jnp.uint32(40503)
+         + (seed.astype(jnp.uint32) + jnp.uint32(1)) *
+         jnp.uint32(2246822519))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    # Mosaic lacks a direct uint32->f32 convert; the value fits in 24 bits
+    # so a bitcast to int32 is exact and int32->f32 is supported.
+    x24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
+    return x24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+
+
+def _fwd_kernel(seed_ref, h_ref, w_ref, b_ref, tgt_ref,
+                ce_ref, samp_ref, lse_ref,
+                m_acc, s_acc, tgt_acc, gmax_acc, gidx_acc,
+                *, V: int, tile_v: int):
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        m_acc[:] = jnp.full_like(m_acc, _NEG_INF)
+        s_acc[:] = jnp.zeros_like(s_acc)
+        tgt_acc[:] = jnp.zeros_like(tgt_acc)
+        gmax_acc[:] = jnp.full_like(gmax_acc, _NEG_INF)
+        gidx_acc[:] = jnp.zeros_like(gidx_acc)
+
+    B = h_ref.shape[0]
+    logits = jax.lax.dot(h_ref[:], w_ref[:],
+                         preferred_element_type=jnp.float32) + b_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, tile_v), 1) + j * tile_v
+    valid = col < V
+    logits = jnp.where(valid, logits, _NEG_INF)
+
+    # online log-sum-exp
+    tile_max = jnp.max(logits, axis=1, keepdims=True)          # [B,1]
+    new_m = jnp.maximum(m_acc[:], tile_max)
+    s_acc[:] = (s_acc[:] * jnp.exp(m_acc[:] - new_m)
+                + jnp.sum(jnp.exp(logits - new_m), axis=1, keepdims=True))
+    m_acc[:] = new_m
+
+    # target logit (zero elsewhere; exactly one hit across tiles)
+    is_tgt = col == tgt_ref[:]
+    tgt_acc[:] = tgt_acc[:] + jnp.sum(
+        jnp.where(is_tgt, logits, 0.0), axis=1, keepdims=True)
+
+    # Gumbel-max sampling: g = logits + Gumbel(0,1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, tile_v), 0)
+    u = _hash_uniform(seed_ref[0], col, row)
+    g = logits + (-jnp.log(-jnp.log(u)))
+    g = jnp.where(valid, g, _NEG_INF)
+    tile_gmax = jnp.max(g, axis=1, keepdims=True)
+    tile_gidx = jnp.sum(
+        jnp.where(g == tile_gmax, col, 0), axis=1, keepdims=True)
+    better = tile_gmax > gmax_acc[:]
+    gmax_acc[:] = jnp.where(better, tile_gmax, gmax_acc[:])
+    gidx_acc[:] = jnp.where(better, tile_gidx, gidx_acc[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        lse = m_acc[:] + jnp.log(s_acc[:])
+        lse_ref[:] = lse
+        ce_ref[:] = lse - tgt_acc[:]
+        samp_ref[:] = gidx_acc[:].astype(jnp.int32)
+
+
+def _fwd_call(h, w_t, b2, target2, seed, interpret):
+    B, H = h.shape
+    V = w_t.shape[1]
+    nj = pl.cdiv(V, _TILE_V)
+    kernel = functools.partial(_fwd_kernel, V=V, tile_v=_TILE_V)
+    ce, samp, lse = pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # seed
+            pl.BlockSpec((B, H), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),              # h
+            pl.BlockSpec((H, _TILE_V), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),              # w tile
+            pl.BlockSpec((1, _TILE_V), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),              # b tile
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),              # target
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, 1), jnp.float32),
+                        pltpu.VMEM((B, 1), jnp.float32),
+                        pltpu.VMEM((B, 1), jnp.float32),
+                        pltpu.VMEM((B, 1), jnp.float32),
+                        pltpu.VMEM((B, 1), jnp.int32)],
+        interpret=interpret,
+    )(seed, h, w_t, b2, target2)
+    return ce[:, 0], samp[:, 0], lse[:, 0]
+
+
+# ----------------------------- backward -----------------------------
+
+def _bwd_kernel(h_ref, w_ref, b_ref, tgt_ref, lse_ref, gce_ref,
+                dw_ref, dh_ref, db_ref, dh_acc,
+                *, V: int, tile_v: int):
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        dh_acc[:] = jnp.zeros_like(dh_acc)
+
+    B = h_ref.shape[0]
+    logits = jax.lax.dot(h_ref[:], w_ref[:],
+                         preferred_element_type=jnp.float32) + b_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, tile_v), 1) + j * tile_v
+    valid = col < V
+    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
+    onehot = jnp.where(col == tgt_ref[:], 1.0, 0.0)
+    dlogits = gce_ref[:] * (p - onehot)                  # [B, tile_v]
+    dw_ref[:] = jax.lax.dot_general(
+        h_ref[:], dlogits, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [H, tile_v]
+    db_ref[:] = jnp.sum(dlogits, axis=0, keepdims=True)  # [1, tile_v]
+    # zero the ragged tail of the weight tile: its out-of-bounds padding is
+    # undefined and 0 * undefined would poison the dh contraction
+    H = w_ref.shape[0]
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (H, tile_v), 1) + j * tile_v
+    w_masked = jnp.where(wcol < V, w_ref[:], 0.0)
+    dh_acc[:] = dh_acc[:] + jax.lax.dot_general(
+        dlogits, w_masked, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [B, H]
+
+    @pl.when(j == nj - 1)
+    def _():
+        dh_ref[:] = dh_acc[:]
+
+
+def _bwd_call(h, w_t, b2, target2, lse2, gce2, interpret):
+    B, H = h.shape
+    V = w_t.shape[1]
+    nj = pl.cdiv(V, _TILE_V)
+    kernel = functools.partial(_bwd_kernel, V=V, tile_v=_TILE_V)
+    dw_t, dh, db2 = pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _TILE_V), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_V), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((H, _TILE_V), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_V), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, V), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, V), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(h, w_t, b2, target2, lse2, gce2)
+    return dw_t, dh, db2[0]
+
+
+# ----------------------------- public op ----------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def pallas_ce_sample(h, w, b, target, seed, interpret=False):
+    """h [B,H], w [V,H], b [V], target [B] int32, seed int32 scalar ->
+    (ce [B], sampled [B]). Streaming-tile CE + Gumbel-max sampling."""
+    (ce, samp), _ = _fwd_impl(h, w, b, target, seed, interpret)
+    return ce, samp
+
+
+def _fwd_impl(h, w, b, target, seed, interpret):
+    w_t = w.T.astype(jnp.float32)
+    b2 = b.reshape(1, -1).astype(jnp.float32)
+    target2 = target.reshape(-1, 1).astype(jnp.int32)
+    seed1 = jnp.asarray(seed, jnp.int32).reshape(1)
+    ce, samp, lse = _fwd_call(h.astype(jnp.float32), w_t, b2, target2,
+                              seed1, interpret)
+    return (ce, samp), (h, w_t, b2, target2, lse)
+
+
+def _vjp_fwd(h, w, b, target, seed, interpret):
+    (ce, samp), res = _fwd_impl(h, w, b, target, seed, interpret)
+    return (ce, samp), res
+
+
+def _vjp_bwd(interpret, res, grads):
+    h, w_t, b2, target2, lse = res
+    g_ce, _ = grads
+    gce2 = g_ce.reshape(-1, 1).astype(jnp.float32)
+    dw_t, dh, db = _bwd_call(h.astype(jnp.float32), w_t, b2, target2,
+                             lse.reshape(-1, 1), gce2, interpret)
+    return dh, dw_t.T, db, None, None
+
+
+pallas_ce_sample.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,81 @@
+"""Streaming pallas CE kernel: CE/lse/grad parity with explicit logits;
+sampling validity. Interpret mode on the CPU test platform."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dvae_tpu.ops.pallas_ce import pallas_ce_sample, pallas_ce_supported
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    B, H, V = 8, 128, 5000  # V not a multiple of the 2048 tile: ragged tail
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    target = jnp.asarray(rng.integers(0, V, size=B).astype(np.int32))
+    return h, w, b, target
+
+
+def test_supported():
+    assert pallas_ce_supported(128, 256, 20000)
+    assert not pallas_ce_supported(128, 200, 20000)  # H not lane-aligned
+
+
+def test_ce_matches_explicit(problem):
+    h, w, b, target = problem
+    ce, sampled = pallas_ce_sample(h, w, b, target, 7, True)
+    logits = h @ w.T + b
+    want = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+        logits, target[:, None], axis=-1)[:, 0]
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    s = np.asarray(sampled)
+    assert s.shape == (8,) and (s >= 0).all() and (s < w.shape[0]).all()
+
+
+def test_sampling_is_deterministic_per_seed_and_varies(problem):
+    h, w, b, target = problem
+    _, s1 = pallas_ce_sample(h, w, b, target, 7, True)
+    _, s2 = pallas_ce_sample(h, w, b, target, 7, True)
+    _, s3 = pallas_ce_sample(h, w, b, target, 8, True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.any(np.asarray(s1) != np.asarray(s3))
+
+
+def test_sampling_respects_distribution():
+    """A sharply peaked distribution must (almost) always sample the peak."""
+    B, H, V = 8, 128, 3000
+    h = jnp.ones((B, H), jnp.float32)
+    w = jnp.zeros((V, H), jnp.float32)
+    b = jnp.zeros((V,), jnp.float32).at[123].set(50.0)
+    target = jnp.zeros((B,), jnp.int32)
+    for seed in range(3):
+        _, sampled = pallas_ce_sample(h, w, b, target, seed, True)
+        np.testing.assert_array_equal(np.asarray(sampled), [123] * B)
+
+
+def test_gradients_match_explicit(problem):
+    h, w, b, target = problem
+    rng = np.random.default_rng(1)
+    gw = jnp.asarray(rng.normal(size=8).astype(np.float32))
+
+    def loss_pl(h, w, b):
+        ce, _ = pallas_ce_sample(h, w, b, target, 3, True)
+        return (ce * gw).sum()
+
+    def loss_ref(h, w, b):
+        logits = h @ w.T + b
+        ce = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+            logits, target[:, None], axis=-1)[:, 0]
+        return (ce * gw).sum()
+
+    g1 = jax.grad(loss_pl, argnums=(0, 1, 2))(h, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-3, atol=2e-4)
