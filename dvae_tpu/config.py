@@ -208,6 +208,10 @@ class ModelConfig:
     # [B, V] tensor anywhere; samples use the in-kernel PRNG so draws are
     # distribution-equal but not bit-equal to the XLA path), or "auto".
     fused_ce_backend: str = "xla"
+    # If true, eval-mode latents use z = mu (fixes reference quirk #1, the
+    # dead eval branch at model.py:391-395). Default false: preserve the
+    # reference's always-stochastic z, which the MIG protocol expects.
+    deterministic_eval_z: bool = False
 
     @property
     def total_latent_dim(self) -> int:
@@ -309,4 +313,5 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         mi_estimator=params.get("mi_estimator", "club"),
         fused_decoder_ce=params.get("fused_decoder_ce", True),
         fused_ce_backend=params.get("fused_ce_backend", "xla"),
+        deterministic_eval_z=params.get("deterministic_eval_z", False),
     )

@@ -73,6 +73,23 @@ class RatioBatchSampler:
         self._group_sizes = {
             k: int(np.round(self.batch_size * r))
             for k, r in self.ratios.items()}
+        for k, g in self._group_sizes.items():
+            if g <= 0:
+                raise ValueError(
+                    f"dataset_minibatch_ratios[{k!r}]={self.ratios[k]} "
+                    f"rounds to a zero per-batch quota at batch_size="
+                    f"{self.batch_size}")
+        # Rounding can push the quota sum past batch_size (e.g. ratios
+        # .35/.35/.30 at batch 16 -> 6+6+5=17). The reference emitted the
+        # oversized batch (data_utils.py:41-47); our static shapes cannot,
+        # so deterministically trim the largest quotas down to fit.
+        while sum(self._group_sizes.values()) > self.batch_size:
+            k_max = max(self._group_sizes, key=self._group_sizes.get)
+            if self._group_sizes[k_max] <= 1:
+                raise ValueError(
+                    "cannot fit one example per source within batch_size="
+                    f"{self.batch_size}")
+            self._group_sizes[k_max] -= 1
 
     def __len__(self) -> int:
         # Number of batches per epoch: driven by the largest source

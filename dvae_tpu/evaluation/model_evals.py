@@ -453,22 +453,28 @@ def summarize_attribute_transfer(outfile: str) -> None:
 
 def reconstruct_all_splits(params_file: str, N: int = -1,
                            verbose: bool = False
-                           ) -> Dict[str, List[str]]:
+                           ) -> Dict[str, Dict[str, str]]:
+    """Reconstruct every split; returns {split: {example_id: recon_text}}.
+
+    Keyed by id because the Experiment's datasets are seed-shuffled while
+    compute_ppl reads the corpus in file order -- pairing positionally
+    would mismatch sentences and reconstructions (a quirk the reference's
+    compute_ppl shares; fixed here)."""
     session = EvalSession(params_file)
     prog = session.reconstruct_program()
-    out: Dict[str, List[str]] = {}
+    out: Dict[str, Dict[str, str]] = {}
     for dataset in session.exp.datasets:
-        texts: List[str] = []
+        by_id: Dict[str, str] = {}
         for bi, batch in enumerate(session.batches(dataset)):
             keep = batch.example_mask.astype(bool)
             preds = np.asarray(prog(session.state.params,
                                     jnp.asarray(batch.X),
                                     jnp.asarray(batch.lengths),
                                     jnp.asarray(bi)))
-            texts.extend(np.array(session.text(preds))[keep].tolist())
-            if N > 0 and len(texts) >= N:
-                break
-        out[dataset] = texts[:N] if N > 0 else texts
+            texts = np.array(session.text(preds))[keep].tolist()
+            for uid, text in zip(batch.ids, texts):
+                by_id[uid] = text
+        out[dataset] = by_id
     return out
 
 
@@ -498,26 +504,32 @@ def gpt2_ppl(sentences: List[str], stride: int = 512,
 
 def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
                 verbose: bool = False) -> None:
-    data: Dict[str, List[str]] = {}
+    # (id, sentence) in file order; reconstructions paired by id
+    data: Dict[str, List] = {}
     for name in ("train", "dev", "test"):
         path = os.path.join(data_dir, f"{name}.jsonl")
         if os.path.exists(path):
-            data[name] = [json.loads(line)["sentence"]
-                          for line in open(path)]
-    recon = reconstruct_all_splits(params_file, N=N, verbose=verbose)
+            rows = [json.loads(line) for line in open(path)]
+            data[name] = [(r["id"], r["sentence"]) for r in rows]
+    recon_by_id = reconstruct_all_splits(params_file, verbose=verbose)
+    pairs: Dict[str, List] = {}
+    for name, rows in data.items():
+        limit = N if N > 0 else len(rows)
+        pairs[name] = [(sent, recon_by_id[name][uid])
+                       for uid, sent in rows[:limit]
+                       if uid in recon_by_id[name]]
     try:
-        for name, sents in data.items():
-            ppl = gpt2_ppl(sents[:N] if N > 0 else sents)
-            rppl = gpt2_ppl(recon[name])
+        for name, ps in pairs.items():
+            ppl = gpt2_ppl([p[0] for p in ps])
+            rppl = gpt2_ppl([p[1] for p in ps])
             print(f"{name}: {ppl:.4f}")
             print(f"    recon: {rppl:.4f}")
     except Exception as e:  # no local GPT-2 weights (zero-egress host)
         print(f"WARNING: GPT-2 PPL unavailable ({e}); "
               "reconstructions are still saved.")
     with open(logfile, "w") as f:
-        for name, sents in data.items():
-            limit = N if N > 0 else len(sents)
-            for sent, rec in zip(sents[:limit], recon[name]):
+        for name, ps in pairs.items():
+            for sent, rec in ps:
                 json.dump({"dataset": name, "sentence": sent,
                            "reconstruction": rec}, f)
                 f.write("\n")

@@ -73,15 +73,27 @@ def club_sample_mi_estimate(p: Dict, x: jnp.ndarray, y: jnp.ndarray,
     `mi_estimator: "club_sample"`).
 
     Negatives come from one random permutation of the batch instead of the
-    full O(B^2) marginalization. Masked rows are permuted among themselves
-    is NOT guaranteed by a plain permutation, so invalid rows are excluded
-    via the mask on the outer mean (their contribution is dropped); with
-    full batches this is exactly the reference estimator.
+    full O(B^2) marginalization. Negatives are drawn among VALID rows only:
+    a random order of the valid rows (invalid rows sink to the end) is
+    cyclically shifted by one, so no valid row pairs with a padded row --
+    with full batches this matches the reference estimator's random-
+    permutation negatives (modulo its occasional self-pairings).
     """
     mu, lv = _mu_logvar(p, x)
     inv_var = jnp.exp(-lv)
-    perm = jax.random.permutation(key, x.shape[0])
-    positive = -((mu - y) ** 2) * inv_var
-    negative = -((mu - y[perm]) ** 2) * inv_var
+    B = x.shape[0]
+    # random order with invalid rows last
+    r = jax.random.uniform(key, (B,)) + (1.0 - mask) * 10.0
+    order = jnp.argsort(r)                      # valid rows first, shuffled
+    rank = jnp.argsort(order)                   # position of row i in order
+    n_valid = jnp.maximum(mask.sum().astype(jnp.int32), 1)
+    neg_idx = order[jnp.mod(rank + 1, n_valid)]
+    # double-where: sanitize padded rows BEFORE the arithmetic so neither
+    # values nor gradients of non-finite padding can propagate
+    safe = (mask > 0)[:, None]
+    y_eff = jnp.where(safe, y, 0.0)
+    positive = -((mu - y_eff) ** 2) * inv_var
+    negative = -((mu - y_eff[neg_idx]) ** 2) * inv_var
     per_ex = (positive.sum(-1) - negative.sum(-1))
-    return 0.5 * (per_ex * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    per_ex = jnp.where(mask > 0, per_ex, 0.0)
+    return 0.5 * per_ex.sum() / jnp.maximum(mask.sum(), 1.0)

@@ -102,8 +102,10 @@ def _fwd_kernel(seed_ref, h_ref, w_ref, b_ref, tgt_ref,
     g = logits + (-jnp.log(-jnp.log(u)))
     g = jnp.where(valid, g, _NEG_INF)
     tile_gmax = jnp.max(g, axis=1, keepdims=True)
-    tile_gidx = jnp.sum(
-        jnp.where(g == tile_gmax, col, 0), axis=1, keepdims=True)
+    # min over tying columns (sum would add tied indices together and can
+    # produce an out-of-vocab token id)
+    tile_gidx = jnp.min(
+        jnp.where(g == tile_gmax, col, V), axis=1, keepdims=True)
     better = tile_gmax > gmax_acc[:]
     gmax_acc[:] = jnp.where(better, tile_gmax, gmax_acc[:])
     gidx_acc[:] = jnp.where(better, tile_gidx, gidx_acc[:])

@@ -548,6 +548,7 @@ def run(params_file: str, verbose: bool = False) -> None:
                     if params.get("fused_epoch", True) and not verbose
                     else trainstep_epoch)
         ckpt_every = max(1, params.get("checkpoint_every_n_epochs", 1))
+        first_epoch = start_epoch
         last_epoch = start_epoch + params["epochs"] - 1
         for epoch in range(start_epoch, start_epoch + params["epochs"]):
             try:
@@ -559,7 +560,7 @@ def run(params_file: str, verbose: bool = False) -> None:
                     evalstep_epoch(state, epoch, "dev")
                     log_reconstructions(state, "dev", epoch, n=20,
                                         train_mode=False)
-                if (epoch - start_epoch) % ckpt_every == 0 \
+                if (epoch - first_epoch) % ckpt_every == 0 \
                         or epoch == last_epoch:
                     logging.info(
                         f"Saving model checkpoint to {exp.ckpt_dir}")

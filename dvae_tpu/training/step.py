@@ -109,16 +109,20 @@ def _all_losses(cfg: ModelConfig, params: Dict, constants: Dict, batch: Dict,
     shielded = {"main": params["main"],
                 "adv": jax.lax.stop_gradient(params["adv"]),
                 "mi": jax.lax.stop_gradient(params["mi"])}
+    # quirk #1 control: eval z is stochastic like the reference unless
+    # config deterministic_eval_z asks for z = mu at eval time
+    sample_z = train or not cfg.deterministic_eval_z
     if cfg.fused_decoder_ce:
         from dvae_tpu.models.vae import forward_with_ce
         out = forward_with_ce(shielded, constants, cfg, batch["noisy_X"],
                               batch["X"], batch["lengths"], key, tf_prob,
-                              train=train)
+                              train=train, sample_z=sample_z)
         recon = (out["recon_ce"] * mask).sum() / jnp.maximum(mask.sum(),
                                                              1.0)
     else:
         out = forward(shielded, constants, cfg, batch["noisy_X"],
-                      batch["lengths"], key, tf_prob, train=train)
+                      batch["lengths"], key, tf_prob, train=train,
+                      sample_z=sample_z)
         recon = L.reconstruction_loss(batch["X"], out["decoder_logits"],
                                       batch["lengths"], mask)
     lp = out["latent_params"]

@@ -15,17 +15,23 @@ def test_club_sample_matches_manual_formula():
     x = jnp.asarray(rng.normal(size=(B, xd)).astype(np.float32))
     y = jnp.asarray(rng.normal(size=(B, yd)).astype(np.float32))
     key = jax.random.PRNGKey(3)
-    got = float(club_sample_mi_estimate(p, x, y, jnp.ones(B), key))
+    mask = jnp.ones(B)
+    got = float(club_sample_mi_estimate(p, x, y, mask, key))
 
-    # manual: replicate with the same permutation
+    # manual: replicate the valid-rows cyclic-shift negative scheme
     from dvae_tpu.models.club import _mu_logvar
     mu, lv = _mu_logvar(p, x)
-    perm = jax.random.permutation(key, B)
+    r = np.asarray(jax.random.uniform(key, (B,)))
+    order = np.argsort(r)
+    rank = np.argsort(order)
+    neg_idx = order[(rank + 1) % B]
     pos = -((np.asarray(mu) - np.asarray(y)) ** 2) / np.exp(np.asarray(lv))
-    neg = -((np.asarray(mu) - np.asarray(y)[np.asarray(perm)]) ** 2) / \
+    neg = -((np.asarray(mu) - np.asarray(y)[neg_idx]) ** 2) / \
         np.exp(np.asarray(lv))
     want = 0.5 * (pos.sum(-1) - neg.sum(-1)).mean()
     np.testing.assert_allclose(got, want, rtol=1e-5)
+    # negatives never self-pair
+    assert np.all(neg_idx != np.arange(B))
 
 
 def test_club_sample_train_step():

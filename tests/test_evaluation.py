@@ -185,10 +185,14 @@ def test_attribute_transfer_contract(trained_env):
 def test_reconstruct_all_splits(trained_env):
     tmp_path, cfg_path, data_dir = trained_env
     from dvae_tpu.evaluation.model_evals import reconstruct_all_splits
-    recon = reconstruct_all_splits(cfg_path, N=5)
+    recon = reconstruct_all_splits(cfg_path)
     assert set(recon.keys()) == {"train", "dev", "test"}
-    assert len(recon["train"]) == 5
-    assert all(isinstance(s, str) for s in recon["train"])
+    # keyed by example id so compute_ppl can pair in file order
+    assert len(recon["train"]) == 32
+    train_ids = {json.loads(l)["id"]
+                 for l in open(os.path.join(data_dir, "train.jsonl"))}
+    assert set(recon["train"].keys()) == train_ids
+    assert all(isinstance(s, str) for s in recon["train"].values())
 
 
 def test_invariance_and_plots(trained_env):

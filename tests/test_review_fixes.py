@@ -1,0 +1,97 @@
+"""Regression tests for the round-1 self-review findings."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_checkpoint_cadence(tmp_path, monkeypatch):
+    """checkpoint_every_n_epochs=2 over 4 epochs must save epochs 0, 2 and
+    the final epoch 3 -- not just 0 and 3 (the start_epoch-reassignment
+    bug)."""
+    from tests.test_driver_modes import base_cfg, write_cfg
+    monkeypatch.chdir(tmp_path)
+    cfg = base_cfg(tmp_path, name="cadence", epochs=4,
+                   checkpoint_every_n_epochs=2)
+    from dvae_tpu.training.driver import run
+    run(write_cfg(tmp_path, cfg))
+    ckpts = sorted(os.listdir(tmp_path / "ckpts" / "cadence"))
+    assert ckpts == ["model_0", "model_2", "model_3"], ckpts
+
+
+def test_ratio_sampler_quota_overflow_trimmed():
+    """round() overflow (6+6+5=17 > 16) must be trimmed to fit the static
+    batch, not crash collate."""
+    from dvae_tpu.data.sampler import RatioBatchSampler
+    labels = ([{"s": "a"}] * 20 + [{"s": "b"}] * 20 + [{"s": "c"}] * 20)
+    s = RatioBatchSampler(labels, "s",
+                          ratios={"a": 0.35, "b": 0.35, "c": 0.30},
+                          batch_size=16, seed=0)
+    assert sum(s._group_sizes.values()) <= 16
+    for b in s.epoch_batches():
+        assert len(b) <= 16
+
+
+def test_ratio_sampler_zero_quota_raises():
+    from dvae_tpu.data.sampler import RatioBatchSampler
+    labels = [{"s": "a"}] * 10 + [{"s": "b"}] * 10
+    with pytest.raises(ValueError, match="zero per-batch quota"):
+        RatioBatchSampler(labels, "s", ratios={"a": 0.98, "b": 0.02},
+                          batch_size=8)
+
+
+def test_deterministic_eval_z_wired():
+    """With deterministic_eval_z, eval losses are identical across eval
+    seeds (z = mu); without, they differ (stochastic z, quirk #1)."""
+    import dataclasses
+    from dvae_tpu.models import init_vae_params
+    from dvae_tpu.training import create_train_state, kl_weight_vector, \
+        make_eval_step
+    from tests.test_train_step import make_batch, make_cfg
+
+    batch = make_batch(make_cfg(), B=8, seed=1)
+    out = {}
+    for det in (True, False):
+        cfg = dataclasses.replace(make_cfg(), deterministic_eval_z=det)
+        params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
+        state = create_train_state(params, 1e-3, 0)
+        ev = jax.jit(make_eval_step(cfg, constants))
+        klw = jnp.asarray(kl_weight_vector(cfg, {"default": 0.01}, 1.0))
+        m1, l1, _ = ev(state, batch, klw, jnp.asarray(1.0), jnp.asarray(1))
+        m2, l2, _ = ev(state, batch, klw, jnp.asarray(1.0), jnp.asarray(2))
+        out[det] = (np.asarray(l1["content"]["z"]),
+                    np.asarray(l2["content"]["z"]),
+                    np.asarray(l1["content"]["mu"]))
+    z1, z2, mu = out[True]
+    np.testing.assert_array_equal(z1, z2)
+    np.testing.assert_array_equal(z1, mu)  # z == mu when deterministic
+    z1s, z2s, _ = out[False]
+    assert np.abs(z1s - z2s).max() > 0  # stochastic differs across seeds
+
+
+def test_club_sample_never_touches_padded_rows():
+    """Negatives must come from valid rows only: poison padded rows' y
+    with NaN and require a finite estimate + finite gradients."""
+    from dvae_tpu.models.club import club_sample_mi_estimate, \
+        init_club_params
+    rng = np.random.default_rng(0)
+    B = 8
+    p = init_club_params(jax.random.PRNGKey(0), 2, 2, 5)
+    x = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    y = np.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    y[5:] = np.nan  # padded rows
+    mask = jnp.asarray(np.array([1, 1, 1, 1, 1, 0, 0, 0], np.float32))
+    est = club_sample_mi_estimate(p, x, jnp.asarray(y), mask,
+                                  jax.random.PRNGKey(3))
+    assert np.isfinite(float(est))
+
+    def loss(x_):
+        return club_sample_mi_estimate(p, x_, jnp.asarray(y), mask,
+                                       jax.random.PRNGKey(3))
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
