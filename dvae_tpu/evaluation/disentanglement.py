@@ -60,9 +60,12 @@ def compute(metadata_dir: str, data_dir: str, dataset: str, outdir: str,
         mis = defaultdict(dict)
         pred_results = []
         for latent_name, mus, lvs in loaded:
-            zs = sample_from_latent(mus, lvs, rng)
-            id2z = dict(zip(ids, zs))
             for lab_name in labels_set:
+                # fresh z per (latent, label) pair, matching the
+                # reference's resampling protocol exactly
+                # (disentanglement.py:117-124)
+                zs = sample_from_latent(mus, lvs, rng)
+                id2z = dict(zip(ids, zs))
                 _, (p, r, f, _) = train_lr(id2z, lab_name, id2labels,
                                            random_state=i)
                 pred_results.append([i, latent_name, lab_name, p, r, f])
