@@ -70,10 +70,16 @@ class EvalSession:
         return -(-len(self.exp.datasets[dataset])
                  // self.params["batch_size"])
 
-    def text(self, token_rows: np.ndarray) -> List[str]:
-        return [" ".join(tensor2text(row, self.exp.idx2word,
-                                     self.cfg.eos_idx))
+    def text(self, token_rows: np.ndarray,
+             strip_markers: bool = False) -> List[str]:
+        """Token ids -> space-joined text. strip_markers drops the first
+        and last token (SOS/EOS), the reference's compute_ppl convention
+        (compute_ppl.py:196 `tensor2text(...)[1:-1]`)."""
+        rows = [tensor2text(row, self.exp.idx2word, self.cfg.eos_idx)
                 for row in np.asarray(token_rows)]
+        if strip_markers:
+            rows = [r[1:-1] for r in rows]
+        return [" ".join(r) for r in rows]
 
     # ---------- fused programs ----------
     def consistency_program(self, num_resamples: int = 1):
@@ -471,7 +477,8 @@ def reconstruct_all_splits(params_file: str, N: int = -1,
                                     jnp.asarray(batch.X),
                                     jnp.asarray(batch.lengths),
                                     jnp.asarray(bi)))
-            texts = np.array(session.text(preds))[keep].tolist()
+            texts = np.array(session.text(
+                preds, strip_markers=True))[keep].tolist()
             for uid, text in zip(batch.ids, texts):
                 by_id[uid] = text
         out[dataset] = by_id
@@ -482,28 +489,27 @@ def gpt2_ppl(sentences: List[str], stride: int = 512,
              verbose: bool = False) -> float:
     """GPT-2 sliding-window perplexity (reference compute_ppl.py:70-95).
     Requires the HF gpt2 weights to be available locally (no egress)."""
-    import torch
-    from transformers import GPT2LMHeadModel, GPT2Tokenizer
-    tokenizer = GPT2Tokenizer.from_pretrained("gpt2")
-    model = GPT2LMHeadModel.from_pretrained("gpt2")
-    model.eval()
-    enc = tokenizer.encode("\n\n".join(sentences), return_tensors="pt")
-    max_length = model.config.n_positions
-    nlls = []
-    end_loc = 0
-    for i in range(0, enc.size(1), stride):
-        begin_loc = max(i + stride - max_length, 0)
-        end_loc = min(i + stride, enc.size(1))
-        trg_len = end_loc - i
-        input_ids = enc[:, begin_loc:end_loc]
-        with torch.no_grad():
-            out = model(input_ids, labels=input_ids)
-            nlls.append(out[0] * trg_len)
-    return float(torch.exp(torch.stack(nlls).sum() / end_loc))
+    from dvae_tpu.evaluation.ppl import gpt2_ppl as _gpt2_ppl
+    return _gpt2_ppl(sentences, stride=stride)
 
 
 def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
-                verbose: bool = False) -> None:
+                verbose: bool = False, ngram_order: int = 2) -> None:
+    """Originals-vs-reconstructions perplexity (reference
+    compute_ppl.py:109-204). GPT-2 availability is probed UP FRONT (no
+    network); when the weights are absent the documented fallback -- an
+    n-gram LM trained on the train-split originals (the reference's own
+    ngram_ppl helper model) -- scores both sides instead, so the run always
+    produces a PPL(orig) vs PPL(recon) table. Reconstructions are saved to
+    `logfile` and the numeric results to `logfile`.ppl.json either way."""
+    from dvae_tpu.evaluation.ppl import (gpt2_available, ngram_ppl_report)
+
+    use_gpt2 = gpt2_available()
+    if not use_gpt2:
+        print("WARNING: local GPT-2 weights not found; falling back to the "
+              f"{ngram_order}-gram LM perplexity (trained on train-split "
+              "originals).")
+
     # (id, sentence) in file order; reconstructions paired by id
     data: Dict[str, List] = {}
     for name in ("train", "dev", "test"):
@@ -518,18 +524,33 @@ def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
         pairs[name] = [(sent, recon_by_id[name][uid])
                        for uid, sent in rows[:limit]
                        if uid in recon_by_id[name]]
-    try:
+
+    results: Dict[str, Dict] = {"estimator": "gpt2" if use_gpt2
+                                else f"{ngram_order}-gram"}
+    if use_gpt2:
         for name, ps in pairs.items():
             ppl = gpt2_ppl([p[0] for p in ps])
             rppl = gpt2_ppl([p[1] for p in ps])
             print(f"{name}: {ppl:.4f}")
             print(f"    recon: {rppl:.4f}")
-    except Exception as e:  # no local GPT-2 weights (zero-egress host)
-        print(f"WARNING: GPT-2 PPL unavailable ({e}); "
-              "reconstructions are still saved.")
+            results[name] = {"original_ppl": ppl,
+                             "reconstruction_ppl": rppl}
+    else:
+        report = ngram_ppl_report(
+            [sent for _, sent in data.get("train", [])], pairs,
+            n=ngram_order)
+        for name, row in report.items():
+            print(f"{name}: {row['original_ppl']:.4f} "
+                  f"(UNK={row['original_unk']})")
+            print(f"    recon: {row['reconstruction_ppl']:.4f} "
+                  f"(UNK={row['reconstruction_unk']})")
+            results[name] = row
+
     with open(logfile, "w") as f:
         for name, ps in pairs.items():
             for sent, rec in ps:
                 json.dump({"dataset": name, "sentence": sent,
                            "reconstruction": rec}, f)
                 f.write("\n")
+    with open(logfile + ".ppl.json", "w") as f:
+        json.dump(results, f, indent=2)

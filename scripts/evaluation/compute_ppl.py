@@ -1,6 +1,8 @@
-"""CLI: GPT-2 perplexity of originals vs VAE reconstructions
-(reference compute_ppl.py CLI). GPT-2 weights must be locally cached;
-without them, reconstructions are still produced and saved."""
+"""CLI: perplexity of originals vs VAE reconstructions (reference
+compute_ppl.py CLI). Uses locally cached GPT-2 weights when available;
+otherwise falls back to an n-gram LM trained on the train-split originals
+(the reference's ngram_ppl helper model) so a PPL(orig) vs PPL(recon)
+table is always produced. Reconstructions are saved either way."""
 
 import os as _os
 import sys as _sys
@@ -18,6 +20,8 @@ def parse_args():
     parser.add_argument("logfile", type=str)
     parser.add_argument("-N", type=int, default=-1)
     parser.add_argument("--verbose", action="store_true", default=False)
+    parser.add_argument("--ngram_order", type=int, default=2,
+                        help="n-gram order for the no-GPT-2 fallback LM")
     return parser.parse_args()
 
 
@@ -25,4 +29,4 @@ if __name__ == "__main__":
     args = parse_args()
     from dvae_tpu.evaluation.model_evals import compute_ppl
     compute_ppl(args.params_json, args.data_dir, args.logfile, N=args.N,
-                verbose=args.verbose)
+                verbose=args.verbose, ngram_order=args.ngram_order)

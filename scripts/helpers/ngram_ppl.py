@@ -13,13 +13,10 @@ _sys.path.insert(0, _os.path.abspath(_os.path.join(
 import argparse
 import json
 import os
-from collections import Counter, defaultdict
-
-import numpy as np
 
 from dvae_tpu.data import preprocess_sentences
-
-FLOOR = 1e-8
+from dvae_tpu.evaluation.ppl import estimate_ngram_lm
+from dvae_tpu.evaluation.ppl import ngram_ppl as compute_ppl
 
 
 def parse_args():
@@ -34,37 +31,6 @@ def read_split(data_dir, split):
     path = os.path.join(data_dir, f"{split}.jsonl")
     sents = [json.loads(line)["sentence"] for line in open(path)]
     return preprocess_sentences(sents, "<s>", "</s>")
-
-
-def estimate_ngram_lm(sentences, n=2):
-    context_counts = defaultdict(Counter)
-    vocab = set()
-    for sent in sentences:
-        vocab.update(sent)
-        for i in range(len(sent) - n + 1):
-            ctx = tuple(sent[i:i + n - 1])
-            context_counts[ctx][sent[i + n - 1]] += 1
-    return context_counts, vocab
-
-
-def compute_ppl(model, vocab, sentences, n=2):
-    context_counts, _ = model, None
-    logps = []
-    n_unk = 0
-    for sent in sentences:
-        sent = [t if t in vocab else "<UNK>" for t in sent]
-        n_unk += sum(1 for t in sent if t == "<UNK>")
-        for i in range(len(sent) - n + 1):
-            ctx = tuple(sent[i:i + n - 1])
-            tok = sent[i + n - 1]
-            counts = context_counts.get(ctx)
-            p = FLOOR
-            if counts:
-                total = sum(counts.values())
-                p = max(counts.get(tok, 0) / total, FLOOR)
-            logps.append(np.log(p))
-    ppl = float(np.exp(-np.mean(logps))) if logps else float("inf")
-    return ppl, n_unk
 
 
 def main():
