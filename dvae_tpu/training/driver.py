@@ -204,10 +204,18 @@ class Experiment:
         return BatchPipeline(ds, sampler, p["batch_size"])
 
     def eval_pipeline(self, name: str) -> BatchPipeline:
-        ds = self.datasets[name]
-        sampler = ShuffleBatchSampler(len(ds), self.params["batch_size"],
-                                      seed=self.params["random_seed"] + 1)
-        return BatchPipeline(ds, sampler, self.params["batch_size"])
+        # One sampler instance per split, so its RNG advances and batch
+        # composition reshuffles across epochs like the reference's
+        # shuffle=True eval DataLoaders (run.py:536).
+        if not hasattr(self, "_eval_samplers"):
+            self._eval_samplers = {}
+        if name not in self._eval_samplers:
+            ds = self.datasets[name]
+            self._eval_samplers[name] = ShuffleBatchSampler(
+                len(ds), self.params["batch_size"],
+                seed=self.params["random_seed"] + 1)
+        return BatchPipeline(self.datasets[name], self._eval_samplers[name],
+                             self.params["batch_size"])
 
     def device_batch(self, batch) -> Dict:
         arrays = {"noisy_X": batch.noisy_X, "X": batch.X,
@@ -568,6 +576,22 @@ def run(params_file: str, verbose: bool = False) -> None:
                 start_epoch = epoch
             except KeyboardInterrupt:
                 logging.warning(f"Training interrupted at epoch {epoch}!")
+                # The jitted epoch donates the input state; an interrupt
+                # landing mid-call leaves `state` pointing at deleted
+                # buffers. Restore the latest checkpoint so the "Ctrl-C
+                # keeps the most recent model" contract (reference
+                # run.py:634-651) holds for the final evals below.
+                if any(leaf.is_deleted() for leaf in jax.tree.leaves(state)
+                       if hasattr(leaf, "is_deleted")):
+                    wait_for_saves()
+                    fresh = replicate(exp.plan, create_train_state(
+                        exp.init_params, params["learn_rate"],
+                        params["random_seed"], mi_lr=mi_lr))
+                    state, start_epoch, name = load_latest_checkpoint(
+                        fresh, exp.ckpt_dir)
+                    logging.warning(
+                        "Interrupt landed inside the jitted epoch; "
+                        f"restored checkpoint {name!r} for final evals.")
                 break
 
     if params["validate"] and "dev" in exp.datasets:

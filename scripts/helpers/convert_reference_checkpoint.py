@@ -97,6 +97,14 @@ def main():
     from dvae_tpu.training.step import create_train_state
 
     params = load_config(args.config_json)
+    if not params.get("lowercase", True):
+        # The reference's run.py always lowercases (preprocess_sentences
+        # default, the param is never forwarded); dvae_tpu honors the key
+        # as a deliberate quirk fix, so a lowercase=false config builds a
+        # different vocab than the reference checkpoint was trained with.
+        print("WARNING: config sets lowercase=false, but the reference "
+              "trainer always lowercased -- the rebuilt vocab will not "
+              "match the reference checkpoint's token ids.")
     exp = Experiment(params, require_vocab_file=True)
     ckpt = torch.load(args.torch_checkpoint, map_location="cpu")
     sd = {k: v.numpy() for k, v in ckpt["model_state_dict"].items()}
