@@ -59,6 +59,12 @@ REQUIRED_SCHEMA: Dict[str, type] = {
 OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     "compute_dtype": (str, "float32"),
     "num_data_shards": (int, 1),
+    # Per-label positive-class weight for the BCE discriminator/adversary
+    # heads (torch BCEWithLogitsLoss(pos_weight) semantics), e.g.
+    # {"uncertainty": 8.0} to counter a ~11%-positive label. Only valid for
+    # binary (1-dim) heads. Default: no reweighting (reference behavior,
+    # losses.py:180-196).
+    "dsc_pos_weights": (dict, {}),
     "deterministic_eval_z": (bool, False),
     "mi_loss_weight_train": (float, 0.01),
     "mi_loss_weight_eval": (float, 1.0),
@@ -199,6 +205,9 @@ class ModelConfig:
     # or "auto" (pallas on TPU when the shape fits VMEM, else scan).
     lstm_backend: str = "auto"
     mi_estimator: str = "club"  # "club" | "club_sample"
+    # ((label_name, pos_weight), ...) for BCE heads; see OPTIONAL_SCHEMA
+    # ["dsc_pos_weights"]. Tuple-of-pairs keeps the dataclass hashable.
+    pos_weights: Tuple[Tuple[str, float], ...] = ()
     # Fuse the decoder's vocab projection + CE + sampling into a custom-VJP
     # op that never materializes/saves [B, T, V] logits (ops/fused_ce.py).
     # Identical math and (same key) identical samples to the logits path.
@@ -284,6 +293,17 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
     if dec_layers == 1:
         dec_layers = 2
 
+    pw = params.get("dsc_pos_weights", {}) or {}
+    for k in pw:
+        if k not in dsc_names:
+            raise ValueError(
+                f"dsc_pos_weights key {k!r} is not a discriminator label "
+                f"(have {dsc_names})")
+        if label_dims[k] != 1:
+            raise ValueError(
+                f"dsc_pos_weights[{k!r}]: pos_weight only applies to "
+                "binary (1-dim BCE) heads")
+
     return ModelConfig(
         vocab_size=vocab_size,
         emb_dim=params["embedding_dim"],
@@ -314,4 +334,5 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         fused_decoder_ce=params.get("fused_decoder_ce", True),
         fused_ce_backend=params.get("fused_ce_backend", "xla"),
         deterministic_eval_z=params.get("deterministic_eval_z", False),
+        pos_weights=tuple(sorted((k, float(v)) for k, v in pw.items())),
     )

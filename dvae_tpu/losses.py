@@ -94,14 +94,24 @@ def compute_kl_divergence_losses(cfg: ModelConfig,
 
 
 def _head_loss(logits: jnp.ndarray, targets: jnp.ndarray,
-               example_mask: jnp.ndarray) -> jnp.ndarray:
+               example_mask: jnp.ndarray,
+               pos_weight: float = 1.0) -> jnp.ndarray:
     """BCE-with-logits for 1-dim heads (float targets), CE otherwise
-    (reference Discriminator.compute_loss, model.py:199-202)."""
+    (reference Discriminator.compute_loss, model.py:199-202).
+
+    pos_weight scales the positive-class term of the BCE exactly like
+    torch's BCEWithLogitsLoss(pos_weight=w): the config-gated class
+    imbalance lever (OPTIONAL_SCHEMA["dsc_pos_weights"]); 1.0 reproduces
+    the reference. Stable form: with L = log1p(exp(-|x|)),
+      loss = w*t*(max(-x,0)+L) + (1-t)*(max(x,0)+L).
+    """
     if logits.shape[-1] == 1:
-        t = targets.astype(logits.dtype)[:, None]
-        per_ex = jnp.maximum(logits, 0) - logits * t + jnp.log1p(
-            jnp.exp(-jnp.abs(logits)))
-        return _masked_mean(per_ex[:, 0], example_mask)
+        x = logits[:, 0]
+        t = targets.astype(logits.dtype)
+        L = jnp.log1p(jnp.exp(-jnp.abs(x)))
+        per_ex = (pos_weight * t * (jnp.maximum(-x, 0) + L)
+                  + (1.0 - t) * (jnp.maximum(x, 0) + L))
+        return _masked_mean(per_ex, example_mask)
     logp = jax.nn.log_softmax(logits, axis=-1)
     per_ex = -jnp.take_along_axis(
         logp, targets[:, None].astype(jnp.int32), axis=-1)[:, 0]
@@ -123,10 +133,12 @@ def compute_discriminator_losses(cfg: ModelConfig,
                                  labels: Dict[str, jnp.ndarray],
                                  example_mask: jnp.ndarray) -> Dict:
     """Per-head loss + accuracy, summed total (reference losses.py:180-196)."""
+    pw = dict(cfg.pos_weights)
     idv_losses, idv_accs = {}, {}
     total = 0.0
     for name in cfg.dsc_names:
-        loss = _head_loss(dsc_logits[name], labels[name], example_mask)
+        loss = _head_loss(dsc_logits[name], labels[name], example_mask,
+                          pos_weight=pw.get(name, 1.0))
         idv_losses[name] = loss
         idv_accs[name] = _head_accuracy(dsc_logits[name], labels[name],
                                         example_mask)
@@ -163,6 +175,7 @@ def compute_adversarial_losses(cfg: ModelConfig,
     to adversary weights) -- the reference's detached second forward
     (model.py:229-237).
     """
+    pw = dict(cfg.pos_weights)
     idv_adv_losses, idv_dsc_losses, idv_dsc_accs = {}, {}, {}
     total_adv = 0.0
     total_adv_dsc = 0.0
@@ -172,7 +185,7 @@ def compute_adversarial_losses(cfg: ModelConfig,
         idv_adv_losses[name] = adv_loss
         total_adv = total_adv + adv_loss
         dsc_loss = _head_loss(adv_logits_detached[name], labels[lab],
-                              example_mask)
+                              example_mask, pos_weight=pw.get(lab, 1.0))
         idv_dsc_losses[name] = dsc_loss
         total_adv_dsc = total_adv_dsc + dsc_loss
         idv_dsc_accs[name] = _head_accuracy(adv_logits[name], labels[lab],

@@ -97,3 +97,24 @@ def test_build_model_config_wiring():
     assert mc.enc_layers == 1 and mc.dec_layers == 2
     assert mc.total_latent_dim == 6
     assert mc.context_dim == 8  # hidden * 1 layer * 1 direction
+
+
+def test_dsc_pos_weights_validation():
+    params = copy.deepcopy(VALID)
+    params["latent_dims"] = {"total": 6, "polarity": 1, "uncertainty": 1}
+    label_dims = {"polarity": 1, "uncertainty": 3}
+    params["dsc_pos_weights"] = {"uncertainty": 8}
+    # non-binary head: rejected
+    with pytest.raises(ValueError, match="binary"):
+        build_model_config(params, vocab_size=50, label_dims=label_dims,
+                           sos_idx=2, eos_idx=3, max_length=12)
+    # unknown label: rejected
+    params["dsc_pos_weights"] = {"nope": 2.0}
+    with pytest.raises(ValueError, match="not a discriminator label"):
+        build_model_config(params, vocab_size=50, label_dims=label_dims,
+                           sos_idx=2, eos_idx=3, max_length=12)
+    # valid: lands in cfg.pos_weights as float pairs
+    params["dsc_pos_weights"] = {"polarity": 2}
+    mc = build_model_config(params, vocab_size=50, label_dims=label_dims,
+                            sos_idx=2, eos_idx=3, max_length=12)
+    assert mc.pos_weights == (("polarity", 2.0),)

@@ -215,3 +215,31 @@ def test_bleu_matches_nltk_if_available():
     got = bleu_score(cands, refs)
     want = corpus_bleu(refs, cands)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_head_loss_pos_weight_matches_torch():
+    """dsc_pos_weights lever: BCE pos_weight must match torch's
+    BCEWithLogitsLoss(pos_weight=w) exactly; w=1 reproduces the default."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(5)
+    B = 8
+    logits = rng.normal(size=(B, 1)).astype(np.float32)
+    y = rng.integers(0, 2, size=B).astype(np.int32)
+    for w in (1.0, 3.5, 8.0):
+        got = float(L._head_loss(jnp.asarray(logits), jnp.asarray(y),
+                                 jnp.ones(B), pos_weight=w))
+        want = torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.tensor(logits),
+            torch.tensor(y.astype(np.float32)).unsqueeze(1),
+            pos_weight=torch.tensor(w)).item()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+    # masked rows are excluded from the weighted mean
+    mask = np.ones(B, np.float32)
+    mask[-2:] = 0.0
+    got_m = float(L._head_loss(jnp.asarray(logits), jnp.asarray(y),
+                               jnp.asarray(mask), pos_weight=4.0))
+    want_m = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.tensor(logits[:-2]),
+        torch.tensor(y[:-2].astype(np.float32)).unsqueeze(1),
+        pos_weight=torch.tensor(4.0)).item()
+    np.testing.assert_allclose(got_m, want_m, rtol=1e-5)
