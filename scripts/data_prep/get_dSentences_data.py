@@ -2,8 +2,13 @@
 npz archive of sentences + 9 generative-factor labels -> jsonl splits.
 
 Splits: --split_on content (random over unique contents), factor-based, or
-random. Optional spacy-based verb/object re-annotation when an object-token
-file is supplied and spacy is available (gated: spacy is not in this image).
+random. Verb/object re-annotation (reference get_dSentences_data.py:110-144)
+splits the lumped verb_obj_tuple factor: verb = tuple // 10, object = the
+lemma id of the sentence's final token. Lemmas come from spacy when it is
+installed (the reference's path) and otherwise from a rule-based English
+noun lemmatizer covering the dSentences object vocabulary (documented
+deviation: same lemma grouping for regular plurals + the standard
+irregulars, no model download needed).
 """
 
 from __future__ import annotations
@@ -48,6 +53,68 @@ def load_examples(infile):
     return examples, factor_names
 
 
+_IRREGULAR_NOUN_LEMMAS = {
+    "men": "man", "women": "woman", "children": "child",
+    "people": "person", "feet": "foot", "teeth": "tooth",
+    "mice": "mouse", "geese": "goose", "oxen": "ox", "dice": "die",
+    "knives": "knife", "wives": "wife", "lives": "life", "loaves": "loaf",
+    "leaves": "leaf", "wolves": "wolf", "shelves": "shelf",
+    "halves": "half", "thieves": "thief", "scarves": "scarf",
+}
+
+
+def _rule_lemma(word):
+    """Rule-based English noun lemma (spacy-free fallback): irregulars +
+    regular plural suffix stripping. Singulars pass through unchanged."""
+    w = word.lower()
+    if w in _IRREGULAR_NOUN_LEMMAS:
+        return _IRREGULAR_NOUN_LEMMAS[w]
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    for suf in ("sses", "shes", "ches", "xes", "zes"):
+        if w.endswith(suf):
+            return w[:-2]
+    if w.endswith("s") and not w.endswith(("ss", "us", "is")):
+        return w[:-1]
+    return w
+
+
+def make_lemmatizer():
+    """spacy lemmas when available (the reference's path,
+    get_dSentences_data.py:119-131), rule-based otherwise."""
+    try:
+        import spacy
+        nlp = spacy.load("en_core_web_sm", disable=["parser", "ner"])
+
+        def lemma(word):
+            return nlp(word)[0].lemma_
+        return lemma, "spacy"
+    except Exception:
+        return _rule_lemma, "rules"
+
+
+def get_verb_object_annotations(examples, object_tokens, lemma=None):
+    """Split the lumped verb_obj_tuple factor into separate `verb` and
+    `object` annotations (reference get_dSentences_data.py:110-144):
+    verb = verb_obj_tuple // 10 (a new verb every 10 raw indices),
+    object = the lemma id of the sentence's final token, with lemma ids
+    assigned by first occurrence over `object_tokens`."""
+    if lemma is None:
+        lemma, backend = make_lemmatizer()
+        print(f"verb/object re-annotation using {backend} lemmas")
+    obj2idx = {}
+    lemma2idx = {}
+    for obj in object_tokens:
+        lem = lemma(obj)
+        if lem not in lemma2idx:
+            lemma2idx[lem] = len(lemma2idx)
+        obj2idx[obj] = lemma2idx[lem]
+    for ex in examples:
+        ex["verb"] = ex["verb_obj_tuple"] // 10
+        ex["object"] = obj2idx[ex["sentence"].split()[-1]]
+    return examples
+
+
 def split(examples, mode, factor, rng):
     n = len(examples)
     if mode == "random":
@@ -76,12 +143,8 @@ def main():
     print(f"{len(examples)} examples, factors: {factor_names}")
 
     if args.object_tokens_file:
-        try:
-            import spacy  # noqa: F401
-            print("spacy verb/object re-annotation not available in this "
-                  "build environment; skipping (install spacy to enable).")
-        except ImportError:
-            print("spacy not installed; skipping verb/object re-annotation.")
+        object_tokens = [t.strip() for t in open(args.object_tokens_file)]
+        examples = get_verb_object_annotations(examples, object_tokens)
 
     splits = split(examples, args.split_on, args.factor, rng)
     os.makedirs(args.outdir, exist_ok=True)

@@ -86,3 +86,54 @@ def test_conceptnet_pair_flow(tmp_path):
     assert len(pos) == len(neg) == 30
     assert "[MASK]" not in pos[0]["sentence"]
     assert any("not" in r_["sentence"] for r_ in neg)
+
+
+def test_dsentences_verb_object_annotations(tmp_path):
+    """Verb/object re-annotation splits verb_obj_tuple (reference
+    get_dSentences_data.py:110-144): verb = tuple // 10, object = lemma id
+    of the final token with plural/singular forms merged."""
+    sents = []
+    tuples = []
+    objs = ["apple", "apples", "knife", "knives", "box", "boxes"]
+    for i in range(12):
+        obj = objs[i % len(objs)]
+        sents.append(f"she verbs the {obj}".encode())
+        tuples.append(i * 10 + (i % 3))
+    factors = np.stack([np.array(tuples), np.arange(12) % 2], axis=1)
+    npz = tmp_path / "dSentences.npz"
+    np.savez(npz, sentences_array=np.array(sents, dtype=object),
+             latents_classes=factors,
+             latents_names=np.array([b"verb_obj_tuple", b"verb_type"],
+                                    dtype=object))
+    toks = tmp_path / "objects.txt"
+    toks.write_text("\n".join(objs) + "\n")
+    outdir = tmp_path / "ds_vo"
+    r = run_script("scripts/data_prep/get_dSentences_data.py", str(npz),
+                   str(outdir), "--split_on", "random",
+                   "--object_tokens_file", str(toks))
+    assert r.returncode == 0, r.stderr
+    rows = []
+    for split_name in ("train", "dev", "test"):
+        rows += [json.loads(l) for l in open(outdir / f"{split_name}.jsonl")]
+    assert len(rows) == 12
+    for row in rows:
+        assert row["verb"] == row["verb_obj_tuple"] // 10
+    # singular/plural pairs share a lemma id; distinct lemmas do not
+    by_obj = {row["sentence"].split()[-1]: row["object"] for row in rows}
+    assert by_obj["apple"] == by_obj["apples"]
+    assert by_obj["knife"] == by_obj["knives"]
+    assert by_obj["box"] == by_obj["boxes"]
+    assert len({by_obj["apple"], by_obj["knife"], by_obj["box"]}) == 3
+
+
+def test_rule_lemma():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ds_mod", "scripts/data_prep/get_dSentences_data.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cases = {"apples": "apple", "berries": "berry", "boxes": "box",
+             "dishes": "dish", "knives": "knife", "children": "child",
+             "glass": "glass", "bus": "bus", "dog": "dog"}
+    for word, want in cases.items():
+        assert mod._rule_lemma(word) == want, word
