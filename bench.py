@@ -86,6 +86,13 @@ def main():
             "n_chips": n_chips,
             "config": "sfu_amazon_100k scale (V=20k, H=256, 2-layer biLSTM,"
                       " adv+mi on, full fused train step)",
+            "baseline_caveat": "denominator is the reference's measured "
+                               "computational profile on ONE CPU thread "
+                               "with its always-on anomaly detection "
+                               "(run.py:22); vs its intended GPU "
+                               "environment the honest factor is ~2-3 "
+                               "orders of magnitude lower (see "
+                               "benchmarks/RESULTS.md)",
         },
     }))
 
