@@ -65,6 +65,9 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # binary (1-dim) heads. Default: no reweighting (reference behavior,
     # losses.py:180-196).
     "dsc_pos_weights": (dict, {}),
+    # Log a per-phase wall-clock breakdown of each fused train epoch
+    # (collate / upload / compute+fetch / bleu / scalar log / metadata CSV).
+    "log_epoch_phases": (bool, False),
     "deterministic_eval_z": (bool, False),
     "mi_loss_weight_train": (float, 0.01),
     "mi_loss_weight_eval": (float, 1.0),

@@ -59,11 +59,16 @@ def reconstruction_loss(targets: jnp.ndarray, logits: jnp.ndarray,
 def get_cyclic_kl_weight(step, total_steps: int, cycles: int = 4,
                          rate: float = 0.5):
     """Cyclic annealing (reference losses.py:143-150). Works on scalars or
-    traced arrays."""
+    traced arrays; plain Python/numpy scalars are computed on the host (the
+    driver calls this once per step when building an epoch's KL-weight
+    sequence -- a jnp.where here would mean one blocking device dispatch
+    per step, which through this TPU tunnel costs ~30 ms each)."""
     denom = total_steps / cycles
     numer = step % np.ceil(denom)
     tau = numer / denom
-    return jnp.where(tau <= rate, tau / rate, 1.0)
+    if isinstance(tau, (jnp.ndarray, jax.core.Tracer)):
+        return jnp.where(tau <= rate, tau / rate, 1.0)
+    return tau / rate if tau <= rate else 1.0
 
 
 def kl_divergence(mu: jnp.ndarray, logvar: jnp.ndarray,

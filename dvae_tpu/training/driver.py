@@ -47,11 +47,14 @@ from dvae_tpu.parallel import make_mesh_plan, replicate, shard_batch
 from dvae_tpu.training.checkpoint import (load_latest_checkpoint,
                                           save_checkpoint, wait_for_saves)
 from dvae_tpu.training.logging import (LossLogger, ScalarWriter,
-                                       append_reconstructions, log_params)
+                                       append_reconstructions, log_params,
+                                       log_params_async,
+                                       wait_for_metadata_writes)
 from dvae_tpu.training.step import (create_train_state, kl_weight_vector,
                                     make_eval_epoch, make_eval_step,
                                     make_train_epoch, make_train_step)
-from dvae_tpu.utils import compute_bleu, set_seed, tensor2text
+from dvae_tpu.ops.device_bleu import bleu_from_counts
+from dvae_tpu.utils import set_seed, tensor2text
 from dvae_tpu.losses import get_cyclic_kl_weight
 
 
@@ -375,11 +378,13 @@ def run(params_file: str, verbose: bool = False) -> None:
         every step's metrics/latents/predictions back in one call."""
         from dvae_tpu.parallel import shard_stacked_batch
         t0 = time.time()
+        phases = [("start", t0)]
         loss_logger = LossLogger(writer("train"), epoch)
         step0 = epoch * steps_per_epoch
 
         host_batches = list(pipeline.epoch())
         S = len(host_batches)
+        phases.append(("collate", time.time()))
 
         def stack(field):
             return np.stack([getattr(b, field) for b in host_batches])
@@ -397,13 +402,18 @@ def run(params_file: str, verbose: bool = False) -> None:
                                                         total_steps)))
             for i in range(S)])
         dev = shard_stacked_batch(exp.plan, stacked)
+        phases.append(("stack+upload", time.time()))
         state, metrics_seq, latents_seq, preds_seq = train_epoch(
             state, dev, jnp.asarray(klw_seq),
             jnp.asarray(params["teacher_forcing_prob"]),
             jnp.asarray(params["mi_loss_weight_train"]))
+        # predictions stay on device: BLEU comes from the 10-int per-step
+        # sufficient statistics in metrics (ops/device_bleu.py), so the
+        # [S, B, T] preds tensor is never transferred
         metrics_seq = jax.device_get(metrics_seq)
+        phases.append(("compute+metrics_fetch", time.time()))
         latents_seq = jax.device_get(latents_seq)
-        preds_seq = np.asarray(preds_seq)
+        phases.append(("latents_fetch", time.time()))
 
         masks = [b.example_mask for b in host_batches]
         ids_all = [i for b in host_batches for i in b.ids]
@@ -411,23 +421,29 @@ def run(params_file: str, verbose: bool = False) -> None:
         bleu_every = max(1, params.get("bleu_every_n_steps", 1))
         for i in range(S):
             m = jax.tree.map(lambda a: a[i], metrics_seq)
+            counts = m.pop("bleu_counts")
             m["kl_weights"] = {n: klw_seq[i][j] for j, n in
                                enumerate(cfg.latent_names)}
             m["mi_loss_weight"] = params["mi_loss_weight_train"]
             if i % bleu_every == 0:
-                keep = masks[i].astype(bool)
-                m["bleu"] = compute_bleu(
-                    host_batches[i].X[keep], preds_seq[i][keep],
-                    exp.idx2word, cfg.eos_idx)
+                m["bleu"] = bleu_from_counts(counts)
             collected.append(m)
+        phases.append(("bleu+scalars", time.time()))
         _epoch_host_logging(loss_logger, collected, step0)
         loss_logger.log_epoch()
+        phases.append(("scalar_log", time.time()))
         keep = np.concatenate(masks).astype(bool)
         gathered = {
             ln: {pn: np.asarray(arr).reshape(-1, arr.shape[-1])[keep]
                  for pn, arr in per_param.items()}
             for ln, per_param in latents_seq.items()}
-        log_params(gathered, ids_all, exp.logdir, "train", epoch)
+        log_params_async(gathered, ids_all, exp.logdir, "train", epoch)
+        phases.append(("metadata_csv", time.time()))
+        if params.get("log_epoch_phases"):
+            spans = ", ".join(
+                f"{name}={phases[i + 1][1] - phases[i][1]:.3f}s"
+                for i, (name, _) in enumerate(phases[1:], 0))
+            logging.info(f"Epoch phases: {spans}")
         dt = str(datetime.timedelta(seconds=time.time() - t0))
         logging.info(_summary_line(
             "TRAIN", epoch, loss_logger, cfg.adversarial_loss, cfg.mi_loss,
@@ -439,9 +455,9 @@ def run(params_file: str, verbose: bool = False) -> None:
         t0 = time.time()
         loss_logger = LossLogger(writer("train"), epoch)
         step0 = epoch * steps_per_epoch
-        collected, latents_steps, preds_steps = [], [], []
+        collected, latents_steps = [], []
         ids_all: List[str] = []
-        masks, targets = [], []
+        masks = []
         profile_dir = params.get("profile_dir", "")
         step = step0
         for batch in pipeline.epoch():
@@ -459,10 +475,8 @@ def run(params_file: str, verbose: bool = False) -> None:
             metrics["mi_loss_weight"] = params["mi_loss_weight_train"]
             collected.append(metrics)
             latents_steps.append(latents)
-            preds_steps.append(preds)
             ids_all.extend(batch.ids)
             masks.append(batch.example_mask)
-            targets.append(batch.X)
             step += 1
             if verbose and (step - step0) % 10 == 0:
                 print(f"EPOCH {epoch}: {step - step0}/{steps_per_epoch}",
@@ -479,20 +493,18 @@ def run(params_file: str, verbose: bool = False) -> None:
                              f"{datetime.timedelta(seconds=est)}")
 
         # one-shot device -> host transfer, then replay logging
+        # (predictions never leave the device; BLEU comes from the per-step
+        # sufficient statistics)
         collected = jax.device_get(collected)
         latents_steps = jax.device_get(latents_steps)
-        preds_steps = jax.device_get(preds_steps)
         bleu_every = max(1, params.get("bleu_every_n_steps", 1))
-        for i, preds in enumerate(preds_steps):
-            if i % bleu_every:
-                continue
-            keep = masks[i].astype(bool)
-            bleu = compute_bleu(targets[i][keep], np.asarray(preds)[keep],
-                                exp.idx2word, cfg.eos_idx)
-            collected[i]["bleu"] = bleu
+        for i, m in enumerate(collected):
+            counts = m.pop("bleu_counts")
+            if i % bleu_every == 0:
+                m["bleu"] = bleu_from_counts(counts)
         _epoch_host_logging(loss_logger, collected, step0)
         loss_logger.log_epoch()
-        log_params(_gather_latents(latents_steps, masks), ids_all,
+        log_params_async(_gather_latents(latents_steps, masks), ids_all,
                    exp.logdir, "train", epoch)
         dt = str(datetime.timedelta(seconds=time.time() - t0))
         logging.info(_summary_line(
@@ -523,15 +535,11 @@ def run(params_file: str, verbose: bool = False) -> None:
             jnp.arange(S))
         metrics_seq = jax.device_get(metrics_seq)
         latents_seq = jax.device_get(latents_seq)
-        preds_seq = np.asarray(preds_seq)
         masks = [b.example_mask for b in host_batches]
         ids_all = [i for b in host_batches for i in b.ids]
         for i in range(S):
             m = jax.tree.map(lambda a: a[i], metrics_seq)
-            keep = masks[i].astype(bool)
-            m["bleu"] = compute_bleu(
-                host_batches[i].X[keep], preds_seq[i][keep], exp.idx2word,
-                cfg.eos_idx)
+            m["bleu"] = bleu_from_counts(m.pop("bleu_counts"))
             loss_logger.update(m)
         loss_logger.log_epoch()
         keep = np.concatenate(masks).astype(bool)
@@ -539,7 +547,7 @@ def run(params_file: str, verbose: bool = False) -> None:
             ln: {pn: np.asarray(arr).reshape(-1, arr.shape[-1])[keep]
                  for pn, arr in per_param.items()}
             for ln, per_param in latents_seq.items()}
-        log_params(gathered, ids_all, exp.logdir, name, epoch)
+        log_params_async(gathered, ids_all, exp.logdir, name, epoch)
         logging.info(_summary_line(
             name.upper(), epoch, loss_logger, cfg.adversarial_loss,
             cfg.mi_loss))
@@ -604,6 +612,7 @@ def run(params_file: str, verbose: bool = False) -> None:
                             train_mode=False)
 
     wait_for_saves()
+    wait_for_metadata_writes()
     for w in writers.values():
         w.close()
     now = datetime.datetime.now().strftime("%Y-%m-%d_%H:%M:%S")

@@ -129,6 +129,31 @@ def log_params(latent_logs: Dict[str, Dict[str, List[np.ndarray]]],
             np.savetxt(path, arr, fmt="%.4f", delimiter=",")
 
 
+_metadata_threads: List = []
+
+
+def log_params_async(latent_logs, example_ids, logdir: str,
+                     dataset_name: str, epoch: int) -> None:
+    """Run log_params in a background thread so the ~1 s of CSV formatting
+    (1 CPU core, ~2M floats at 100k scale) overlaps the next epoch's device
+    compute. Files are per-(dataset, epoch) unique so writes never contend;
+    call wait_for_metadata_writes() before reading them back or exiting."""
+    import threading
+    _metadata_threads[:] = [t for t in _metadata_threads if t.is_alive()]
+    t = threading.Thread(
+        target=log_params,
+        args=(latent_logs, example_ids, logdir, dataset_name, epoch),
+        daemon=True)
+    t.start()
+    _metadata_threads.append(t)
+
+
+def wait_for_metadata_writes() -> None:
+    for t in _metadata_threads:
+        t.join()
+    _metadata_threads.clear()
+
+
 def append_reconstructions(pairs, logdir: str, name: str,
                            epoch: int) -> None:
     """Append `'input' ==> 'reconstruction'` lines per epoch

@@ -41,6 +41,7 @@ from dvae_tpu.config import ModelConfig
 from dvae_tpu import losses as L
 from dvae_tpu.models.vae import (adversary_logits, compute_latent_params,
                                  concat_z, encode, forward)
+from dvae_tpu.ops.device_bleu import bleu_counts
 
 
 class TrainState(NamedTuple):
@@ -260,6 +261,12 @@ def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float):
             / denom
             for n in cfg.latent_names}
 
+        # corpus-BLEU sufficient statistics on device (ops/device_bleu.py):
+        # the host assembles the score from these 10 ints, so predictions
+        # never need the device->host transfer the reference paid per step
+        metrics["bleu_counts"] = bleu_counts(x_prime, batch["X"], mask,
+                                             cfg.eos_idx)
+
         new_state = TrainState(
             params={"main": new_main, "adv": new_adv, "mi": new_mi},
             opt_main=opt_main_state, opt_adv=opt_adv_state,
@@ -314,6 +321,9 @@ def make_eval_step(cfg: ModelConfig, constants: Dict):
         total, (metrics, out) = _all_losses(
             cfg, state.params, constants, batch, key,
             jnp.asarray(0.0), kl_weights_vec, mi_weight, train=False)
+        metrics["bleu_counts"] = bleu_counts(
+            out["token_predictions"], batch["X"], batch["example_mask"],
+            cfg.eos_idx)
         return metrics, _latents_out(cfg, out["latent_params"]), \
             out["token_predictions"]
 

@@ -256,3 +256,29 @@ def test_partial_batch_matches_full_batch_loss():
                                float(m2["total_kl"]), rtol=1e-5)
     np.testing.assert_allclose(float(m1["total_dsc_loss"]),
                                float(m2["total_dsc_loss"]), rtol=1e-5)
+
+
+def test_step_bleu_counts_match_host_bleu():
+    """The train/eval steps' device-side BLEU sufficient statistics must
+    reproduce the host compute_bleu on the very predictions they return."""
+    from dvae_tpu.ops.device_bleu import bleu_from_counts
+    from dvae_tpu.utils import compute_bleu
+    cfg = make_cfg()
+    state, constants, step = setup(cfg)
+    batch = make_batch(cfg, B=8)
+    klw = jnp.asarray(kl_weight_vector(cfg, {"default": 0.01}, 1.0))
+    idx2word = {i: f"w{i}" for i in range(cfg.vocab_size)}
+    for _ in range(3):
+        state, metrics, _, preds = step(state, batch, klw,
+                                        jnp.asarray(0.5), jnp.asarray(0.01))
+        got = bleu_from_counts(jax.device_get(metrics["bleu_counts"]))
+        want = compute_bleu(np.asarray(batch["X"]), np.asarray(preds),
+                            idx2word, cfg.eos_idx)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+    eval_step = jax.jit(make_eval_step(cfg, constants))
+    metrics, _, preds = eval_step(state, batch, klw, jnp.asarray(1.0),
+                                  jnp.asarray(0))
+    got = bleu_from_counts(jax.device_get(metrics["bleu_counts"]))
+    want = compute_bleu(np.asarray(batch["X"]), np.asarray(preds),
+                        idx2word, cfg.eos_idx)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
