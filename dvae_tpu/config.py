@@ -6,7 +6,11 @@ reproduction_configs/*.json run unchanged. Unknown keys warn, missing or
 mistyped keys raise ValueError.
 
 Extensions (all optional, warn-free, default to reference behavior):
-  - "compute_dtype": "float32" | "bfloat16"  -- matmul compute dtype on TPU.
+  - "compute_dtype": "float32" | "bfloat16" | "auto" -- matmul compute
+    dtype on TPU. "auto" picks by measurement (benchmarks/dtype_evidence.py
+    + RESULTS.md): float32 when the recurrence runs in the Pallas kernel
+    (internally f32, so bf16 only adds boundary casts), bfloat16 for the
+    lax.scan backend (where pre-cast bf16 weights win at flagship scale).
   - "num_data_shards": int                   -- size of the `data` mesh axis.
   - "deterministic_eval_z": bool             -- if true, fixes reference quirk
     #1 (eval z was always stochastic, model.py:391-395). Default false
@@ -248,6 +252,20 @@ class ModelConfig:
         return max(self.latent_dim_of(pair[0]), self.latent_dim_of(pair[1]), 5)
 
 
+def _resolve_compute_dtype(compute_dtype: str, lstm_backend: str) -> str:
+    """Resolve "auto" to a concrete dtype by the measured rule
+    (benchmarks/dtype_evidence.py, RESULTS.md round 2): the Pallas LSTM
+    kernel computes in f32 internally, so bf16 only adds boundary casts
+    there; the lax.scan backend wins in bf16 once the weight casts are
+    hoisted out of the loop (layers.cast_matmul_weights)."""
+    if compute_dtype != "auto":
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype must be 'float32', 'bfloat16' "
+                             f"or 'auto', got {compute_dtype!r}")
+        return compute_dtype
+    return "bfloat16" if lstm_backend == "scan" else "float32"
+
+
 def build_model_config(params: Dict[str, Any], vocab_size: int,
                        label_dims: Dict[str, int], sos_idx: int, eos_idx: int,
                        max_length: int,
@@ -329,7 +347,9 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         adversarial_loss=params["adversarial_loss"],
         mi_loss=params["mi_loss"],
         frozen_embeddings=frozen_embeddings,
-        compute_dtype=params.get("compute_dtype", "float32"),
+        compute_dtype=_resolve_compute_dtype(
+            params.get("compute_dtype", "float32"),
+            params.get("lstm_backend", "auto")),
         max_length=max_length,
         adv_grad_mode=params.get("adv_grad_mode", "reference"),
         lstm_backend=params.get("lstm_backend", "auto"),

@@ -34,6 +34,28 @@ def embedding_init(key, vocab_size: int, emb_dim: int,
     return jax.random.normal(key, (vocab_size, emb_dim), dtype)
 
 
+_MATMUL_WEIGHT_KEYS = ("w", "w_ih", "w_hh")
+
+
+def cast_matmul_weights(tree, compute_dtype: str):
+    """Pre-cast matmul weight leaves ("w", "w_ih", "w_hh") to the compute
+    dtype ONCE, outside any lax.scan. `dot` casts its operands anyway, so
+    this is numerically identical to casting inline -- but it guarantees the
+    f32->bf16 conversion of large weights (notably the [V, H] decoder output
+    projection, ~20 MB) happens once per train step instead of once per scan
+    iteration inside the autoregressive decode loop. Biases stay float32:
+    they are added after the float32 accumulation. No-op for float32 mode.
+    """
+    if compute_dtype != "bfloat16" or tree is None:
+        return tree
+    if isinstance(tree, dict):
+        return {k: (v.astype(jnp.bfloat16)
+                    if k in _MATMUL_WEIGHT_KEYS and not isinstance(v, dict)
+                    else cast_matmul_weights(v, compute_dtype))
+                for k, v in tree.items()}
+    return tree
+
+
 def dot(x: jnp.ndarray, w: jnp.ndarray, compute_dtype: str = "float32"):
     """x @ w.T with optional bfloat16 compute and float32 accumulation.
 

@@ -31,8 +31,8 @@ import jax.numpy as jnp
 
 from dvae_tpu.config import ModelConfig
 from dvae_tpu.models.club import init_club_params
-from dvae_tpu.models.layers import (dot, dropout, embedding_init, linear,
-                                    linear_init)
+from dvae_tpu.models.layers import (cast_matmul_weights, dot, dropout,
+                                    embedding_init, linear, linear_init)
 from dvae_tpu.models.lstm import (flip_within_length, lstm_cell,
                                   lstm_layer_init, lstm_scan)
 
@@ -413,6 +413,7 @@ def sample(main: Dict, constants: Dict, cfg: ModelConfig, z: jnp.ndarray,
     """Free-running sampling from z (reference model.py:484-512): always
     multinomial, fixed max_length (default 30)."""
     B = z.shape[0]
+    main = cast_matmul_weights(main, cfg.compute_dtype)
     h, c = compute_hidden(main, cfg, z)
     prev0 = jnp.full((B,), cfg.sos_idx, dtype=jnp.int32)
 
@@ -470,17 +471,19 @@ def forward(params: Dict, constants: Dict, cfg: ModelConfig,
     them in stop_gradient at the call site to control the gradient topology.
     """
     k_enc, k_lat, k_dec = jax.random.split(key, 3)
-    context = encode(params["main"], constants, cfg, inputs, lengths,
+    main = cast_matmul_weights(params["main"], cfg.compute_dtype)
+    context = encode(main, constants, cfg, inputs, lengths,
                      k_enc, train)
-    latent_params = compute_latent_params(params["main"], cfg, context,
+    latent_params = compute_latent_params(main, cfg, context,
                                           k_lat, sample_z=sample_z)
-    dsc_logits = discriminator_logits(params["main"], cfg, latent_params)
+    dsc_logits = discriminator_logits(main, cfg, latent_params)
     zs = {name: latent_params[name].z for name in cfg.latent_names}
-    adv_logits = adversary_logits(params["adv"], cfg, zs) \
+    adv_logits = adversary_logits(
+        cast_matmul_weights(params["adv"], cfg.compute_dtype), cfg, zs) \
         if cfg.adversarial_loss else {}
     z = concat_z(latent_params, cfg)
     logits, preds = decode_teacher_forced(
-        params["main"], constants, cfg, z, inputs, k_dec, tf_prob, train)
+        main, constants, cfg, z, inputs, k_dec, tf_prob, train)
     return {"decoder_logits": logits,
             "latent_params": latent_params,
             "dsc_logits": dsc_logits,
@@ -499,17 +502,19 @@ def forward_with_ce(params: Dict, constants: Dict, cfg: ModelConfig,
     "recon_ce" [B] (per-example sum over valid timesteps) in place of
     "decoder_logits"."""
     k_enc, k_lat, k_dec = jax.random.split(key, 3)
-    context = encode(params["main"], constants, cfg, inputs, lengths,
+    main = cast_matmul_weights(params["main"], cfg.compute_dtype)
+    context = encode(main, constants, cfg, inputs, lengths,
                      k_enc, train)
-    latent_params = compute_latent_params(params["main"], cfg, context,
+    latent_params = compute_latent_params(main, cfg, context,
                                           k_lat, sample_z=sample_z)
-    dsc_logits = discriminator_logits(params["main"], cfg, latent_params)
+    dsc_logits = discriminator_logits(main, cfg, latent_params)
     zs = {name: latent_params[name].z for name in cfg.latent_names}
-    adv_logits = adversary_logits(params["adv"], cfg, zs) \
+    adv_logits = adversary_logits(
+        cast_matmul_weights(params["adv"], cfg.compute_dtype), cfg, zs) \
         if cfg.adversarial_loss else {}
     z = concat_z(latent_params, cfg)
     recon_ce, preds = decode_teacher_forced_ce(
-        params["main"], constants, cfg, z, inputs, targets, lengths, k_dec,
+        main, constants, cfg, z, inputs, targets, lengths, k_dec,
         tf_prob, train)
     return {"recon_ce": recon_ce,
             "latent_params": latent_params,

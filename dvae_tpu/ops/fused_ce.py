@@ -61,7 +61,11 @@ def _bwd(compute_dtype, res, grads):
     dh = dot(dlogits, w.T, compute_dtype)        # [B, H]
     dw = jnp.einsum("bv,bh->vh", dlogits, h)
     db = dlogits.sum(axis=0)
-    return dh, dw, db, None, None
+    # cotangent dtypes must match the primals: with pre-cast bf16 weights
+    # (layers.cast_matmul_weights) w arrives bf16 while the grads above
+    # accumulate in f32
+    return (dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype),
+            None, None)
 
 
 out_proj_ce_sample.defvjp(_fwd, _bwd)

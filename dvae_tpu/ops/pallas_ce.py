@@ -256,7 +256,7 @@ def _fwd_impl(h, w, b, target, seed, interpret):
     seed1 = jnp.asarray(seed, jnp.int32).reshape(1)
     ce, samp, lse = _fwd_call(h.astype(jnp.float32), w_t, b2, target2,
                               seed1, interpret)
-    return (ce, samp), (h, w_t, b2, target2, lse)
+    return (ce, samp), (h, w, b, target2, lse)
 
 
 def _vjp_fwd(h, w, b, target, seed, interpret):
@@ -265,12 +265,16 @@ def _vjp_fwd(h, w, b, target, seed, interpret):
 
 
 def _vjp_bwd(interpret, res, grads):
-    h, w_t, b2, target2, lse = res
+    h, w, b, target2, lse = res
     g_ce, _ = grads
     gce2 = g_ce.reshape(-1, 1).astype(jnp.float32)
-    dw_t, dh, db = _bwd_call(h.astype(jnp.float32), w_t, b2, target2,
+    dw_t, dh, db = _bwd_call(h.astype(jnp.float32),
+                             w.T.astype(jnp.float32),
+                             b.reshape(1, -1).astype(jnp.float32), target2,
                              lse.reshape(-1, 1), gce2, interpret)
-    return dh, dw_t.T, db, None, None
+    # cotangent dtypes must match the primals (bf16 under pre-cast weights)
+    return (dh.astype(h.dtype), dw_t.T.astype(w.dtype), db.astype(b.dtype),
+            None, None)
 
 
 pallas_ce_sample.defvjp(_vjp_fwd, _vjp_bwd)

@@ -39,6 +39,7 @@ import optax
 
 from dvae_tpu.config import ModelConfig
 from dvae_tpu import losses as L
+from dvae_tpu.models.layers import cast_matmul_weights
 from dvae_tpu.models.vae import (adversary_logits, compute_latent_params,
                                  concat_z, encode, forward)
 from dvae_tpu.ops.device_bleu import bleu_counts
@@ -251,9 +252,10 @@ def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float):
         # ---- autoencoding drift: re-encode predictions w/ updated params
         #      (reference run.py:285-295; encode-only is sufficient) ----
         x_prime = out["token_predictions"]
-        ctx2 = encode(new_main, constants, cfg, x_prime, batch["lengths"],
+        new_main_c = cast_matmul_weights(new_main, cfg.compute_dtype)
+        ctx2 = encode(new_main_c, constants, cfg, x_prime, batch["lengths"],
                       jax.random.fold_in(k_ae, 1), train=True)
-        lp2 = compute_latent_params(new_main, cfg, ctx2,
+        lp2 = compute_latent_params(new_main_c, cfg, ctx2,
                                     jax.random.fold_in(k_ae, 2))
         denom = jnp.maximum(mask.sum(), 1.0)
         metrics["idv_ae"] = {

@@ -118,3 +118,14 @@ def test_dsc_pos_weights_validation():
     mc = build_model_config(params, vocab_size=50, label_dims=label_dims,
                             sos_idx=2, eos_idx=3, max_length=12)
     assert mc.pos_weights == (("polarity", 2.0),)
+
+
+def test_compute_dtype_auto_resolution():
+    from dvae_tpu.config import _resolve_compute_dtype
+    assert _resolve_compute_dtype("auto", "scan") == "bfloat16"
+    assert _resolve_compute_dtype("auto", "pallas") == "float32"
+    assert _resolve_compute_dtype("auto", "auto") == "float32"
+    assert _resolve_compute_dtype("bfloat16", "pallas") == "bfloat16"
+    import pytest
+    with pytest.raises(ValueError):
+        _resolve_compute_dtype("fp8", "scan")

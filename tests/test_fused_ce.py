@@ -140,3 +140,47 @@ def test_train_step_fused_vs_logits_path():
     np.testing.assert_array_equal(results[True][2], results[False][2])
     np.testing.assert_allclose(results[True][3], results[False][3],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_primals_get_bf16_cotangents():
+    """With pre-cast bf16 weights (layers.cast_matmul_weights), the custom
+    VJP must return cotangents matching the primal dtypes -- a f32 dw for a
+    bf16 w is a hard error inside value_and_grad."""
+    rng = np.random.default_rng(1)
+    B, H, V = 4, 8, 13
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, H))).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, V, size=B).astype(np.int32))
+    key = jax.random.PRNGKey(0)
+
+    def loss(h, w, b):
+        ce, _ = out_proj_ce_sample(h, w, b, target, key, "bfloat16")
+        return ce.sum()
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(h, w, b)
+    assert grads[0].dtype == h.dtype
+    assert grads[1].dtype == jnp.bfloat16
+    assert grads[2].dtype == b.dtype
+    assert np.isfinite(float(val))
+
+
+def test_bf16_train_step_runs_both_ce_paths():
+    """End-to-end bf16 train step (scan backend) under both decoder paths:
+    must compile, run, and produce finite losses with pre-cast weights."""
+    from dvae_tpu.training import create_train_state, kl_weight_vector, \
+        make_train_step
+    batch = make_batch(make_cfg(), B=8, seed=7)
+    for fused in (True, False):
+        cfg = dataclasses.replace(make_cfg(), compute_dtype="bfloat16",
+                                  lstm_backend="scan",
+                                  fused_decoder_ce=fused)
+        params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
+        state = create_train_state(params, 1e-3, 0)
+        step = jax.jit(make_train_step(cfg, constants, 1e-3))
+        klw = jnp.asarray(kl_weight_vector(cfg, {"default": 0.01}, 1.0))
+        new_state, metrics, _, _ = step(state, batch, klw, jnp.asarray(0.5),
+                                        jnp.asarray(0.01))
+        assert np.isfinite(float(metrics["total_loss"]))
+        # master weights stay f32: the cast is per-step compute only
+        assert new_state.params["main"]["z2h"]["w"].dtype == jnp.float32

@@ -264,3 +264,32 @@ def test_bow_encoder_masked_maxpool():
     expected = emb[[2, 5, 3]].max(axis=0)
     np.testing.assert_allclose(np.asarray(ctx[0]), expected, rtol=1e-6)
     assert ctx.shape == (1, cfg.emb_dim)
+
+
+def test_cast_matmul_weights_identity_and_structure():
+    """Pre-cast helper: bf16 for matmul weight leaves only, exact same
+    values through `dot`, no-op (same object) in float32 mode."""
+    import jax
+    import jax.numpy as jnp
+    from dvae_tpu.models.layers import cast_matmul_weights, linear
+
+    k = jax.random.PRNGKey(0)
+    p = {"w": jax.random.normal(jax.random.fold_in(k, 1), (12, 6)),
+         "b": jax.random.normal(jax.random.fold_in(k, 2), (12,)),
+         "nested": {"w_ih": jax.random.normal(jax.random.fold_in(k, 3),
+                                              (8, 4)),
+                    "b_ih": jnp.zeros((8,)),
+                    "embedding": jnp.ones((5, 4))}}
+    c = cast_matmul_weights(p, "bfloat16")
+    assert c["w"].dtype == jnp.bfloat16
+    assert c["b"].dtype == jnp.float32
+    assert c["nested"]["w_ih"].dtype == jnp.bfloat16
+    assert c["nested"]["b_ih"].dtype == jnp.float32
+    assert c["nested"]["embedding"].dtype == jnp.float32
+
+    x = jax.random.normal(jax.random.fold_in(k, 4), (3, 6))
+    inline = linear(x, p, "bfloat16")
+    precast = linear(x, {"w": c["w"], "b": c["b"]}, "bfloat16")
+    assert (inline == precast).all()
+
+    assert cast_matmul_weights(p, "float32") is p
