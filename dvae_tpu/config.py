@@ -12,6 +12,11 @@ Extensions (all optional, warn-free, default to reference behavior):
     (internally f32, so bf16 only adds boundary casts), bfloat16 for the
     lax.scan backend (where pre-cast bf16 weights win at flagship scale).
   - "num_data_shards": int                   -- size of the `data` mesh axis.
+  - "num_model_shards": int                  -- size of the `model` mesh axis
+    (tensor parallelism of the vocab-sized decoder projection; see
+    OPTIONAL_SCHEMA below and parallel/mesh.py).
+  - "vocab_pad_multiple": int                -- pad the projection's vocab
+    dim (e.g. 128 for MXU lanes); padding rows are inert.
   - "deterministic_eval_z": bool             -- if true, fixes reference quirk
     #1 (eval z was always stochastic, model.py:391-395). Default false
     (preserve reference behavior; MIG protocol depends on stochastic z).
@@ -22,6 +27,7 @@ Extensions (all optional, warn-free, default to reference behavior):
 from __future__ import annotations
 
 import json
+import math
 import warnings
 from dataclasses import dataclass, field
 from typing import Any, Dict, Tuple
@@ -63,6 +69,16 @@ REQUIRED_SCHEMA: Dict[str, type] = {
 OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     "compute_dtype": (str, "float32"),
     "num_data_shards": (int, 1),
+    # Size of the `model` mesh axis: tensor parallelism for the vocab-sized
+    # decoder output projection (w sharded P('model', None), b P('model');
+    # XLA GSPMD inserts the logsumexp/sampling collectives). The projection
+    # is padded to a vocab multiple of lcm(num_model_shards,
+    # vocab_pad_multiple) with -1e9 bias rows: exactly zero probability,
+    # exactly zero gradient, so results match the unpadded model.
+    "num_model_shards": (int, 1),
+    # Pad the output-projection vocab dimension to a multiple of this (e.g.
+    # 128 for MXU lane alignment). Padding rows are inert (see above).
+    "vocab_pad_multiple": (int, 1),
     # Per-label positive-class weight for the BCE discriminator/adversary
     # heads (torch BCEWithLogitsLoss(pos_weight) semantics), e.g.
     # {"uncertainty": 8.0} to counter a ~11%-positive label. Only valid for
@@ -228,6 +244,16 @@ class ModelConfig:
     # dead eval branch at model.py:391-395). Default false: preserve the
     # reference's always-stochastic z, which the MIG protocol expects.
     deterministic_eval_z: bool = False
+    # Output-projection vocab dim after padding (>= vocab_size; -1 means no
+    # padding). Padding rows carry zero weights and -1e9 bias: softmax
+    # probability exactly 0, gradients exactly 0, never sampled -- inert
+    # except for enabling even P('model', ...) sharding / MXU alignment.
+    padded_vocab_size: int = -1
+
+    @property
+    def out_vocab_size(self) -> int:
+        return self.padded_vocab_size if self.padded_vocab_size > 0 \
+            else self.vocab_size
 
     @property
     def total_latent_dim(self) -> int:
@@ -314,6 +340,14 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
     if dec_layers == 1:
         dec_layers = 2
 
+    n_model = params.get("num_model_shards", 1)
+    pad_mult = params.get("vocab_pad_multiple", 1)
+    if n_model < 1 or pad_mult < 1:
+        raise ValueError("num_model_shards and vocab_pad_multiple must "
+                         "be >= 1")
+    mult = math.lcm(n_model, pad_mult)
+    padded_vocab = -1 if mult == 1 else -(-vocab_size // mult) * mult
+
     pw = params.get("dsc_pos_weights", {}) or {}
     for k in pw:
         if k not in dsc_names:
@@ -358,4 +392,5 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         fused_ce_backend=params.get("fused_ce_backend", "xla"),
         deterministic_eval_z=params.get("deterministic_eval_z", False),
         pos_weights=tuple(sorted((k, float(v)) for k, v in pw.items())),
+        padded_vocab_size=padded_vocab,
     )

@@ -92,7 +92,13 @@ def init_vae_params(key, cfg: ModelConfig,
                                                 cfg.hidden_dim)
         in_dim = cfg.hidden_dim
     dec["layers"] = dlayers
-    dec["out"] = linear_init(next(keys), cfg.vocab_size, cfg.hidden_dim)
+    dec["out"] = linear_init(next(keys), cfg.out_vocab_size, cfg.hidden_dim)
+    if cfg.out_vocab_size > cfg.vocab_size:
+        # Vocab padding rows (TP shard evenness / MXU alignment) are inert:
+        # zero weights + -1e9 bias give softmax probability exactly 0 and
+        # gradient exactly 0, so they never train and are never sampled.
+        dec["out"]["w"] = dec["out"]["w"].at[cfg.vocab_size:].set(0.0)
+        dec["out"]["b"] = dec["out"]["b"].at[cfg.vocab_size:].set(-1e9)
     main["dec"] = dec
 
     # --- Latent heads: context -> (mu, logvar) per latent space ---
@@ -290,6 +296,12 @@ def _sos_first_step(cfg: ModelConfig, B: int, T: int):
     """Position 0 is hardcoded SOS: logits one-hot value 1.0 at sos_idx,
     prediction = sos (reference model.py:452-456)."""
     logits0 = jnp.zeros((B, cfg.vocab_size)).at[:, cfg.sos_idx].set(1.0)
+    if cfg.out_vocab_size > cfg.vocab_size:
+        # keep the padded columns at -1e9 so position 0's CE stays the
+        # unpadded constant log(e + V - 1) - 1
+        logits0 = jnp.pad(logits0,
+                          ((0, 0), (0, cfg.out_vocab_size - cfg.vocab_size)),
+                          constant_values=-1e9)
     preds0 = jnp.full((B,), cfg.sos_idx, dtype=jnp.int32)
     return logits0, preds0
 
@@ -366,7 +378,7 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
     use_pallas_ce = False
     if cfg.fused_ce_backend in ("pallas", "auto"):
         from dvae_tpu.ops.pallas_ce import pallas_ce_supported
-        ok = pallas_ce_supported(B, cfg.hidden_dim, cfg.vocab_size)
+        ok = pallas_ce_supported(B, cfg.hidden_dim, cfg.out_vocab_size)
         if cfg.fused_ce_backend == "pallas" and not ok:
             raise ValueError("pallas CE unsupported for these shapes")
         use_pallas_ce = ok and (cfg.fused_ce_backend == "pallas"

@@ -1,5 +1,6 @@
-from dvae_tpu.parallel.mesh import (MeshPlan, make_mesh_plan, shard_batch,
-                                    shard_stacked_batch, replicate)
+from dvae_tpu.parallel.mesh import (MeshPlan, make_mesh_plan, place_state,
+                                    shard_batch, shard_stacked_batch,
+                                    replicate)
 
-__all__ = ["MeshPlan", "make_mesh_plan", "shard_batch",
+__all__ = ["MeshPlan", "make_mesh_plan", "place_state", "shard_batch",
            "shard_stacked_batch", "replicate"]

@@ -44,6 +44,9 @@ def make_mesh_plan(n_data: Optional[int] = None,
         devices = jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh needs {n_data}x{n_model} devices, have {len(devices)}")
     use = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
     mesh = Mesh(use, axis_names=("data", "model"))
     return MeshPlan(mesh=mesh, batch_spec=P("data"), replicated_spec=P())
@@ -59,6 +62,36 @@ def shard_batch(plan: MeshPlan, tree):
 def replicate(plan: MeshPlan, tree):
     sh = plan.replicated_sharding()
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def _tp_spec_for_path(path) -> P:
+    """Tensor-parallel placement rule: the decoder output projection
+    ("dec" -> "out" -> {"w" [V, H], "b" [V]}) is sharded over 'model' along
+    the (padded) vocab dimension; everything else -- including its mirrored
+    subtrees inside the optax optimizer state -- is replicated. Matching on
+    the ("out", "w"/"b") path suffix covers both params and Adam moments,
+    because optax moment trees mirror the param tree's dict keys.
+    """
+    keys = [p.key for p in path if hasattr(p, "key")]
+    for i in range(len(keys) - 1):
+        if keys[i] == "out" and keys[i + 1] == "w":
+            return P("model", None)
+        if keys[i] == "out" and keys[i + 1] == "b":
+            return P("model")
+    return P()
+
+
+def place_state(plan: MeshPlan, tree):
+    """Place a TrainState (or any param-shaped pytree): replicated except
+    the tensor-parallel leaves (see _tp_spec_for_path). With model=1 this
+    is exactly `replicate`. XLA GSPMD propagates the shardings through the
+    jitted step and inserts the vocab-axis collectives (logsumexp psum,
+    sampling argmax all-reduce) over ICI."""
+    if plan.mesh.shape["model"] == 1:
+        return replicate(plan, tree)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(
+            x, NamedSharding(plan.mesh, _tp_spec_for_path(path))), tree)
 
 
 def shard_stacked_batch(plan: MeshPlan, tree):
