@@ -41,7 +41,9 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # make is a no-op when the .so is newer than the sources; it
+        # rebuilds a stale committed library after source changes
+        if not _build() and not os.path.exists(_LIB_PATH):
             _build_failed = True
             return None
         lib = ctypes.CDLL(_LIB_PATH)
@@ -61,12 +63,40 @@ def _load():
         lib.tokenize_corpus.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
             ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
+        if hasattr(lib, "write_csv_f32"):  # absent in a stale prebuilt .so
+            lib.write_csv_f32.restype = ctypes.c_int64
+            lib.write_csv_f32.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def csv_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "write_csv_f32")
+
+
+def write_csv_f32(path: str, arr: np.ndarray) -> bool:
+    """Write a 2-D array as "%.4f" CSV, byte-identical to
+    np.savetxt(fmt='%.4f', delimiter=',') but formatted in C without the
+    GIL (ctypes releases it for the call's duration). Returns False when
+    the native library is unavailable (caller falls back to savetxt)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "write_csv_f32"):
+        return False
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    assert a.ndim == 2
+    n = lib.write_csv_f32(path.encode("utf-8"),
+                          a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          a.shape[0], a.shape[1])
+    if n < 0:
+        raise OSError(f"native CSV writer could not open {path!r}")
+    return True
 
 
 def _pack(sentences: Sequence[str]) -> Tuple[bytes, np.ndarray]:

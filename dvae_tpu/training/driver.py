@@ -25,7 +25,8 @@ import json
 import logging
 import os
 import time
-from typing import Dict, List, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,11 +44,13 @@ from dvae_tpu.data.pipeline import collate
 from dvae_tpu.data.vocab import make_word2idx
 from dvae_tpu.data.text import SOS, EOS, PAD, UNK
 from dvae_tpu.models import forward, init_vae_params
-from dvae_tpu.parallel import make_mesh_plan, replicate, shard_batch
+from dvae_tpu.parallel import (make_mesh_plan, place_state, replicate,
+                               shard_batch)
 from dvae_tpu.training.checkpoint import (load_latest_checkpoint,
                                           save_checkpoint, wait_for_saves)
 from dvae_tpu.training.logging import (LossLogger, ScalarWriter,
-                                       append_reconstructions, log_params,
+                                       append_reconstructions,
+                                       log_latents_async, log_params,
                                        log_params_async,
                                        wait_for_metadata_writes)
 from dvae_tpu.training.step import (create_train_state, kl_weight_vector,
@@ -56,6 +59,11 @@ from dvae_tpu.training.step import (create_train_state, kl_weight_vector,
 from dvae_tpu.ops.device_bleu import bleu_from_counts
 from dvae_tpu.utils import set_seed, tensor2text
 from dvae_tpu.losses import get_cyclic_kl_weight
+
+# Single worker so prefetched epochs keep their order (the sampler RNG
+# advances once per pipeline.epoch() call).
+_prefetch_pool = ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix="epoch-prefetch")
 
 
 class Experiment:
@@ -165,14 +173,15 @@ class Experiment:
 
         # --- mesh / sharding ---
         n_data = params.get("num_data_shards", 1)
+        n_model = params.get("num_model_shards", 1)
         avail = len(jax.devices())
-        if n_data <= 0 or n_data > avail:
-            n_data = avail
+        if n_data <= 0 or n_data * n_model > avail:
+            n_data = avail // n_model
         if params["batch_size"] % n_data != 0:
             raise ValueError(
                 f"batch_size {params['batch_size']} not divisible by "
                 f"data shards {n_data}")
-        self.plan = make_mesh_plan(n_data=n_data)
+        self.plan = make_mesh_plan(n_data=n_data, n_model=n_model)
         self.constants = replicate(self.plan, self.constants)
 
     def _read_split(self, path: str, N: int = -1) -> Dict:
@@ -348,7 +357,7 @@ def run(params_file: str, verbose: bool = False) -> None:
     mi_lr = 3e-5 if cfg.mi_estimator == "club_sample" else 5e-4
     state = create_train_state(exp.init_params, params["learn_rate"],
                                params["random_seed"], mi_lr=mi_lr)
-    state = replicate(exp.plan, state)
+    state = place_state(exp.plan, state)
     state, start_epoch, ckpt_name = load_latest_checkpoint(
         state, exp.ckpt_dir)
     if ckpt_name is None:
@@ -371,20 +380,15 @@ def run(params_file: str, verbose: bool = False) -> None:
         return writers[split]
 
     # ---------------- epoch functions ----------------
-    def trainstep_epoch_fused(state, epoch: int, pipeline,
-                              steps_per_epoch: int, total_steps: int):
-        """Whole-epoch lax.scan path (config `fused_epoch`, default): the
-        host stacks the epoch's collated batches, uploads once, and gets
-        every step's metrics/latents/predictions back in one call."""
+    def _stack_train_epoch(pipeline, epoch: int, steps_per_epoch: int,
+                           total_steps: int):
+        """Collate, stack, and upload one training epoch's batches. Runs
+        either inline (first epoch) or on the prefetch thread, overlapped
+        with the previous epoch's device compute."""
         from dvae_tpu.parallel import shard_stacked_batch
-        t0 = time.time()
-        phases = [("start", t0)]
-        loss_logger = LossLogger(writer("train"), epoch)
-        step0 = epoch * steps_per_epoch
-
         host_batches = list(pipeline.epoch())
         S = len(host_batches)
-        phases.append(("collate", time.time()))
+        step0 = epoch * steps_per_epoch
 
         def stack(field):
             return np.stack([getattr(b, field) for b in host_batches])
@@ -402,7 +406,40 @@ def run(params_file: str, verbose: bool = False) -> None:
                                                         total_steps)))
             for i in range(S)])
         dev = shard_stacked_batch(exp.plan, stacked)
-        phases.append(("stack+upload", time.time()))
+        return host_batches, dev, klw_seq
+
+    prefetched: Dict[int, Any] = {}
+
+    def _get_train_epoch_data(pipeline, epoch: int, steps_per_epoch: int,
+                              total_steps: int, last_epoch: int):
+        fut = prefetched.pop(epoch, None)
+        data = fut.result() if fut is not None else _stack_train_epoch(
+            pipeline, epoch, steps_per_epoch, total_steps)
+        if epoch + 1 <= last_epoch and (epoch + 1) not in prefetched:
+            prefetched[epoch + 1] = _prefetch_pool.submit(
+                _stack_train_epoch, pipeline, epoch + 1, steps_per_epoch,
+                total_steps)
+        return data
+
+    def trainstep_epoch_fused(state, epoch: int, pipeline,
+                              steps_per_epoch: int, total_steps: int,
+                              last_epoch: int = -1):
+        """Whole-epoch lax.scan path (config `fused_epoch`, default): the
+        host stacks the epoch's collated batches, uploads once, and gets
+        every step's metrics/latents/predictions back in one call. Host
+        work off the critical path: the next epoch's collate/stack/upload
+        is prefetched on a worker thread, the latents transfer + metadata
+        CSVs run in a background thread (log_latents_async), and scalar
+        records drain through the ScalarWriter's worker."""
+        t0 = time.time()
+        phases = [("start", t0)]
+        loss_logger = LossLogger(writer("train"), epoch)
+        step0 = epoch * steps_per_epoch
+
+        host_batches, dev, klw_seq = _get_train_epoch_data(
+            pipeline, epoch, steps_per_epoch, total_steps, last_epoch)
+        S = len(host_batches)
+        phases.append(("collate+upload", time.time()))
         state, metrics_seq, latents_seq, preds_seq = train_epoch(
             state, dev, jnp.asarray(klw_seq),
             jnp.asarray(params["teacher_forcing_prob"]),
@@ -410,10 +447,16 @@ def run(params_file: str, verbose: bool = False) -> None:
         # predictions stay on device: BLEU comes from the 10-int per-step
         # sufficient statistics in metrics (ops/device_bleu.py), so the
         # [S, B, T] preds tensor is never transferred
+        jax.block_until_ready(metrics_seq["total_loss"])
+        phases.append(("compute", time.time()))
+        # metrics first: they are tiny and on the critical path, and the
+        # device link here serializes transfers -- kicking the ~150 MB
+        # latents DMA first would queue the metrics behind it
         metrics_seq = jax.device_get(metrics_seq)
-        phases.append(("compute+metrics_fetch", time.time()))
-        latents_seq = jax.device_get(latents_seq)
-        phases.append(("latents_fetch", time.time()))
+        phases.append(("metrics_fetch", time.time()))
+        # now start the latents DMA; the background metadata thread
+        # materializes it off the critical path
+        jax.tree.map(lambda a: a.copy_to_host_async(), latents_seq)
 
         masks = [b.example_mask for b in host_batches]
         ids_all = [i for b in host_batches for i in b.ids]
@@ -432,13 +475,9 @@ def run(params_file: str, verbose: bool = False) -> None:
         _epoch_host_logging(loss_logger, collected, step0)
         loss_logger.log_epoch()
         phases.append(("scalar_log", time.time()))
-        keep = np.concatenate(masks).astype(bool)
-        gathered = {
-            ln: {pn: np.asarray(arr).reshape(-1, arr.shape[-1])[keep]
-                 for pn, arr in per_param.items()}
-            for ln, per_param in latents_seq.items()}
-        log_params_async(gathered, ids_all, exp.logdir, "train", epoch)
-        phases.append(("metadata_csv", time.time()))
+        log_latents_async(latents_seq, masks, ids_all, exp.logdir, "train",
+                          epoch)
+        phases.append(("metadata_dispatch", time.time()))
         if params.get("log_epoch_phases"):
             spans = ", ".join(
                 f"{name}={phases[i + 1][1] - phases[i][1]:.3f}s"
@@ -451,7 +490,7 @@ def run(params_file: str, verbose: bool = False) -> None:
         return state
 
     def trainstep_epoch(state, epoch: int, pipeline, steps_per_epoch: int,
-                        total_steps: int):
+                        total_steps: int, last_epoch: int = -1):
         t0 = time.time()
         loss_logger = LossLogger(writer("train"), epoch)
         step0 = epoch * steps_per_epoch
@@ -534,7 +573,7 @@ def run(params_file: str, verbose: bool = False) -> None:
             jnp.asarray(params["mi_loss_weight_eval"]),
             jnp.arange(S))
         metrics_seq = jax.device_get(metrics_seq)
-        latents_seq = jax.device_get(latents_seq)
+        jax.tree.map(lambda a: a.copy_to_host_async(), latents_seq)
         masks = [b.example_mask for b in host_batches]
         ids_all = [i for b in host_batches for i in b.ids]
         for i in range(S):
@@ -542,12 +581,8 @@ def run(params_file: str, verbose: bool = False) -> None:
             m["bleu"] = bleu_from_counts(m.pop("bleu_counts"))
             loss_logger.update(m)
         loss_logger.log_epoch()
-        keep = np.concatenate(masks).astype(bool)
-        gathered = {
-            ln: {pn: np.asarray(arr).reshape(-1, arr.shape[-1])[keep]
-                 for pn, arr in per_param.items()}
-            for ln, per_param in latents_seq.items()}
-        log_params_async(gathered, ids_all, exp.logdir, name, epoch)
+        log_latents_async(latents_seq, masks, ids_all, exp.logdir, name,
+                          epoch)
         logging.info(_summary_line(
             name.upper(), epoch, loss_logger, cfg.adversarial_loss,
             cfg.mi_loss))
@@ -569,7 +604,7 @@ def run(params_file: str, verbose: bool = False) -> None:
         for epoch in range(start_epoch, start_epoch + params["epochs"]):
             try:
                 state = epoch_fn(state, epoch, pipeline,
-                                 steps_per_epoch, total_steps)
+                                 steps_per_epoch, total_steps, last_epoch)
                 log_reconstructions(state, "train", epoch, n=20,
                                     train_mode=True)
                 if params["validate"] and "dev" in exp.datasets:
@@ -592,7 +627,7 @@ def run(params_file: str, verbose: bool = False) -> None:
                 if any(leaf.is_deleted() for leaf in jax.tree.leaves(state)
                        if hasattr(leaf, "is_deleted")):
                     wait_for_saves()
-                    fresh = replicate(exp.plan, create_train_state(
+                    fresh = place_state(exp.plan, create_train_state(
                         exp.init_params, params["learn_rate"],
                         params["random_seed"], mi_lr=mi_lr))
                     state, start_epoch, name = load_latest_checkpoint(

@@ -19,6 +19,8 @@ from __future__ import annotations
 import csv
 import json
 import os
+import queue
+import threading
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -26,7 +28,13 @@ import numpy as np
 
 class ScalarWriter:
     """TensorBoard writer (fast built-in encoder, see tb_writer.py) with a
-    JSONL mirror."""
+    JSONL mirror.
+
+    Writes are asynchronous: add_scalar enqueues (tag, value, step) and a
+    per-writer worker thread does the JSON/TB encoding, so the ~60k
+    per-step scalar records of a flagship epoch never sit on the training
+    thread. flush()/close() drain the queue first, so anything written
+    before them is durable and ordered."""
 
     def __init__(self, log_dir: str, use_tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
@@ -36,19 +44,46 @@ class ScalarWriter:
             self._tb = MiniSummaryWriter(log_dir)
         self._jsonl_path = os.path.join(log_dir, "scalars.jsonl")
         self._jsonl = open(self._jsonl_path, "a")
+        self._q: queue.Queue = queue.Queue()
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
+        self._q.put((tag, float(value), int(step)))
+
+    def _write_one(self, tag: str, value: float, step: int) -> None:
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
         self._jsonl.write(json.dumps(
-            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+            {"tag": tag, "value": value, "step": step}) + "\n")
+
+    def _drain(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if isinstance(item, threading.Event):
+                item.set()
+                continue
+            self._write_one(*item)
+
+    def _barrier(self) -> None:
+        if not self._worker.is_alive():
+            return
+        ev = threading.Event()
+        self._q.put(ev)
+        ev.wait()
 
     def flush(self) -> None:
+        self._barrier()
         if self._tb is not None:
             self._tb.flush()
         self._jsonl.flush()
 
     def close(self) -> None:
+        self._barrier()
+        self._q.put(None)
+        self._worker.join()
         if self._tb is not None:
             self._tb.close()
         self._jsonl.close()
@@ -123,6 +158,15 @@ def log_params(latent_logs: Dict[str, Dict[str, List[np.ndarray]]],
             path = os.path.join(
                 param_dir, f"{dataset_name}_{latent_name}_{epoch}.log")
             arr = np.atleast_2d(np.asarray(rows))
+            # Fast path: native C formatter (native/tokenizer.cpp
+            # write_csv_f32), byte-identical to np.savetxt's "%.4f" and
+            # GIL-free, so this background thread doesn't steal the
+            # training thread's core. float32 only -- a float64 input
+            # could round differently at the 4th decimal after downcast.
+            from dvae_tpu.data import native as _native
+            if arr.dtype == np.float32 and _native.csv_available() and \
+                    _native.write_csv_f32(path, arr):
+                continue
             # np.savetxt formats in C: ~10x faster than per-value Python
             # formatting at 100k-example scale; output is byte-identical
             # to the reference's csv.writer of "%.4f" cells.
@@ -144,6 +188,35 @@ def log_params_async(latent_logs, example_ids, logdir: str,
         target=log_params,
         args=(latent_logs, example_ids, logdir, dataset_name, epoch),
         daemon=True)
+    t.start()
+    _metadata_threads.append(t)
+
+
+def log_latents_async(latents_seq, masks, example_ids, logdir: str,
+                      dataset_name: str, epoch: int) -> None:
+    """log_params_async, but starting from the [S, B, D]-shaped per-step
+    DEVICE arrays the fused epoch returns: the device->host transfer (the
+    single largest host-side cost of a flagship epoch, ~150 MB through a
+    slow device link), the mask gather, and the CSV formatting all run in
+    the background thread, overlapped with the next epoch's compute. The
+    caller should kick off the DMA first via copy_to_host_async."""
+    import threading
+
+    def work():
+        keep = np.concatenate(
+            [np.asarray(m).astype(bool) for m in masks])
+
+        def host_rows(arr):
+            a = np.asarray(arr)          # no-op if already fetched
+            return a.reshape(-1, a.shape[-1])[keep]
+
+        gathered = {ln: {pn: host_rows(arr)
+                         for pn, arr in per_param.items()}
+                    for ln, per_param in latents_seq.items()}
+        log_params(gathered, example_ids, logdir, dataset_name, epoch)
+
+    _metadata_threads[:] = [t for t in _metadata_threads if t.is_alive()]
+    t = threading.Thread(target=work, daemon=True)
     t.start()
     _metadata_threads.append(t)
 

@@ -17,6 +17,7 @@
 // Build: see native/Makefile (g++ -O3 -shared -fPIC).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cctype>
 #include <string>
@@ -174,6 +175,37 @@ int64_t tokenize_corpus(const char* text, const int64_t* offs, int32_t n,
         out_buf[w++] = '\n';
     }
     return w;
+}
+
+// Write a [rows, cols] float32 matrix as "%.4f"-formatted CSV, matching
+// np.savetxt(fmt="%.4f", delimiter=",") byte for byte (both bottom out in
+// C printf "%.4f" on the float64 upcast). The latent-metadata artifact
+// contract (reference run.py:166-194) writes ~290 MB/epoch of these at
+// flagship scale; formatting here runs without the GIL so the background
+// metadata thread no longer steals the training thread's core.
+// Returns bytes written, or -1 if the file cannot be opened.
+int64_t write_csv_f32(const char* path, const float* data,
+                      int64_t rows, int64_t cols) {
+    FILE* f = std::fopen(path, "w");
+    if (!f) return -1;
+    std::vector<char> iobuf(1 << 22);
+    std::setvbuf(f, iobuf.data(), _IOFBF, iobuf.size());
+    char tmp[64];
+    int64_t total = 0;
+    for (int64_t r = 0; r < rows; ++r) {
+        const float* row = data + r * cols;
+        for (int64_t c = 0; c < cols; ++c) {
+            if (c) { std::fputc(',', f); ++total; }
+            int n = std::snprintf(tmp, sizeof tmp, "%.4f",
+                                  static_cast<double>(row[c]));
+            std::fwrite(tmp, 1, static_cast<size_t>(n), f);
+            total += n;
+        }
+        std::fputc('\n', f);
+        ++total;
+    }
+    std::fclose(f);
+    return total;
 }
 
 }  // extern "C"

@@ -65,3 +65,24 @@ def test_large_corpus_roundtrip():
     want = preprocess_sentences(corpus, None, None, lowercase=True)
     got = native.tokenize_corpus(corpus, lowercase=True)
     assert got == want
+
+
+def test_write_csv_f32_byte_identical_to_savetxt(tmp_path):
+    """The native CSV formatter must be byte-for-byte what np.savetxt
+    (fmt='%.4f', delimiter=',') produces -- the metadata artifact contract
+    the evaluation suite parses (reference run.py:166-194)."""
+    if not native.csv_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    scales = 10.0 ** rng.integers(-6, 6, (500, 1)).astype(np.float32)
+    arr = np.concatenate([
+        (rng.standard_normal((500, 5)).astype(np.float32) * scales),
+        np.array([[0.0, -0.0, 1e-9, -1e-9, np.float32(0.00005)],
+                  [123456.789, -3.14159, np.inf, -np.inf, 42.0]],
+                 np.float32),
+    ]).astype(np.float32)
+    p_native = tmp_path / "native.csv"
+    p_numpy = tmp_path / "numpy.csv"
+    assert native.write_csv_f32(str(p_native), arr)
+    np.savetxt(p_numpy, arr, fmt="%.4f", delimiter=",")
+    assert p_native.read_bytes() == p_numpy.read_bytes()

@@ -115,6 +115,34 @@ def test_sharded_run_matches_unsharded(tmp_path, monkeypatch, fused):
     assert np.isfinite(tr8[("avg_total_loss", 1)])
 
 
+def test_tp_sharded_run_matches_unsharded(tmp_path, monkeypatch):
+    """dp4 x tp2 through the full driver: the decoder projection is sharded
+    over the 'model' axis (vocab padded to an even multiple). Both runs get
+    the same vocab_pad_multiple so shapes -- and therefore the PRNG draws
+    of the sampling decoder -- are identical, isolating the sharding."""
+    import jax
+    assert len(jax.devices()) >= 8
+    monkeypatch.chdir(tmp_path)
+    from dvae_tpu.training.driver import run
+
+    run(sharded_cfg(tmp_path, "tp2", 4, num_model_shards=2,
+                    vocab_pad_multiple=2))
+    run(sharded_cfg(tmp_path, "tp_ref", 1, vocab_pad_multiple=2))
+
+    for split in ("train", "dev", "test"):
+        st = read_scalars(tmp_path, "tp2", split)
+        s1 = read_scalars(tmp_path, "tp_ref", split)
+        assert set(st) == set(s1)
+        for key in s1:
+            assert np.isclose(s1[key], st[key], rtol=2e-3, atol=2e-3), (
+                split, key, s1[key], st[key])
+    # resume restores the TP-sharded TrainState onto the same mesh
+    run(sharded_cfg(tmp_path, "tp2", 4, num_model_shards=2,
+                    vocab_pad_multiple=2))
+    log = (tmp_path / "logs" / "tp2" / "run.log").read_text()
+    assert "Loaded checkpoint 'model_1'" in log
+
+
 def test_sharded_checkpoint_resume(tmp_path, monkeypatch):
     """Orbax round-trips the sharded TrainState: a second run restores the
     DP8 checkpoint onto the 8-device mesh and continues training."""
