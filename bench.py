@@ -47,18 +47,24 @@ def main():
     tf = jnp.asarray(0.5)
     miw = jnp.asarray(0.01)
 
-    # warmup / compile
+    # warmup / compile. NOTE (round 2): through the tunneled device
+    # runtime, jax.block_until_ready can return BEFORE execution completes
+    # (profiler-verified), so every timing window must end in a host VALUE
+    # fetch; the first timed rep absorbs queue backlog and is dropped.
     for _ in range(3):
         state, metrics, _, _ = step(state, batch, klw, tf, miw)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])
 
-    n_steps = 20
-    t0 = time.time()
-    for _ in range(n_steps):
-        state, metrics, _, _ = step(state, batch, klw, tf, miw)
-    jax.block_until_ready(metrics["total_loss"])
-    dt = time.time() - t0
-    sec_per_step = dt / n_steps
+    n_steps = 32
+    times = []
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(n_steps):
+            state, metrics, _, _ = step(state, batch, klw, tf, miw)
+        float(metrics["total_loss"])  # host fetch = reliable barrier
+        times.append((time.time() - t0) / n_steps)
+    times = sorted(times[1:])
+    sec_per_step = times[len(times) // 2]
 
     tokens_per_batch = int(batch_np["lengths"].sum())
     n_chips = jax.device_count()
