@@ -31,9 +31,18 @@ def main():
     from dvae_tpu.training import (create_train_state, kl_weight_vector,
                                    make_train_step)
 
+    import dataclasses
+
     B = 128
     cfg = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2,
                            max_length=17)
+    # the perf-recommended configuration (honest-timing A/B, RESULTS.md
+    # round 2): scan recurrence + bf16 compute (pre-cast weights).
+    # The streaming pallas CE measures another ~2% faster but
+    # costs ~10 min of fresh-process compile, so the bench keeps the XLA
+    # fused CE. Parity-default runs stay f32 (reference numerics).
+    cfg = dataclasses.replace(cfg, lstm_backend="scan",
+                              compute_dtype="bfloat16")
     batch_np = ge._synthetic_batch(cfg, B=B, seed=0)
     batch = {k: (jnp.asarray(v) if not isinstance(v, dict)
                  else {n: jnp.asarray(a) for n, a in v.items()})

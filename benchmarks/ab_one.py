@@ -6,11 +6,14 @@ from dvae_tpu.models import init_vae_params
 from dvae_tpu.training import create_train_state, kl_weight_vector, make_train_step
 
 variant = sys.argv[1]
+flat = "--noflat" not in sys.argv
 kw = {"scan_f32": dict(lstm_backend="scan"),
       "pallas_f32": dict(lstm_backend="pallas"),
       "scan_bf16": dict(lstm_backend="scan", compute_dtype="bfloat16"),
       "pallas_bf16": dict(lstm_backend="pallas", compute_dtype="bfloat16"),
       "pallas_ce": dict(lstm_backend="pallas", fused_ce_backend="pallas"),
+      "scan_bf16_pce": dict(lstm_backend="scan", compute_dtype="bfloat16",
+                            fused_ce_backend="pallas"),
       "xla_ce": dict(lstm_backend="pallas", fused_ce_backend="xla")}[variant]
 B = 128
 base = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2, max_length=17)
@@ -18,8 +21,8 @@ cfg = dataclasses.replace(base, **kw)
 batch_np = ge._synthetic_batch(cfg, B=B, seed=0)
 batch = {k: (jnp.asarray(v) if not isinstance(v, dict) else {n: jnp.asarray(a) for n, a in v.items()}) for k, v in batch_np.items()}
 params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
-state = create_train_state(params, 3e-4, 0)
-step = jax.jit(make_train_step(cfg, constants, 3e-4), donate_argnums=(0,))
+state = create_train_state(params, 3e-4, 0, flat=flat)
+step = jax.jit(make_train_step(cfg, constants, 3e-4, flat=flat), donate_argnums=(0,))
 klw = jnp.asarray(kl_weight_vector(cfg, {"default": 0.01}, 1.0))
 # TIMING METHODOLOGY (round 2 fix): through the tunneled device runtime,
 # jax.block_until_ready can return BEFORE device execution completes (a

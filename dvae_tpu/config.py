@@ -88,6 +88,15 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # Log a per-phase wall-clock breakdown of each fused train epoch
     # (collate / upload / compute+fetch / bleu / scalar log / metadata CSV).
     "log_epoch_phases": (bool, False),
+    # Run each optimizer group's Adam on ONE raveled parameter vector
+    # (optax.flatten): bit-identical updates, hundreds fewer device ops
+    # per step. MEASURED NEUTRAL at flagship scale (7.0 vs 6.8 ms/step,
+    # within host noise -- XLA already fuses the per-leaf updates), so
+    # default OFF; kept as a knob for op-count-sensitive shapes.
+    # Auto-disabled under tensor parallelism (the raveled moments cannot
+    # carry the dec/out sharding). Checkpoints written either way restore
+    # transparently (training/checkpoint.py converts).
+    "flat_optimizer": (bool, False),
     "deterministic_eval_z": (bool, False),
     "mi_loss_weight_train": (float, 0.01),
     "mi_loss_weight_eval": (float, 1.0),
@@ -278,18 +287,28 @@ class ModelConfig:
         return max(self.latent_dim_of(pair[0]), self.latent_dim_of(pair[1]), 5)
 
 
+def flat_optimizer_enabled(params: Dict[str, Any]) -> bool:
+    """Resolve the `flat_optimizer` setting: off by default (measured
+    neutral), forced off under tensor parallelism (see OPTIONAL_SCHEMA)."""
+    return bool(params.get("flat_optimizer", False)) and \
+        params.get("num_model_shards", 1) == 1
+
+
 def _resolve_compute_dtype(compute_dtype: str, lstm_backend: str) -> str:
     """Resolve "auto" to a concrete dtype by the measured rule
-    (benchmarks/dtype_evidence.py, RESULTS.md round 2): the Pallas LSTM
-    kernel computes in f32 internally, so bf16 only adds boundary casts
-    there; the lax.scan backend wins in bf16 once the weight casts are
-    hoisted out of the loop (layers.cast_matmul_weights)."""
+    (benchmarks/dtype_evidence.py + the honest-timing A/B, RESULTS.md
+    round 2): the Pallas LSTM kernel computes in f32 internally, so bf16
+    only adds boundary casts there; the lax.scan backend wins in bf16 once
+    the weight casts are hoisted out of the loop
+    (layers.cast_matmul_weights), and scan+bf16 is the fastest measured
+    combination overall -- so auto+auto resolves to bf16 (with
+    _select_lstm_backend then picking scan for bf16)."""
     if compute_dtype != "auto":
         if compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"compute_dtype must be 'float32', 'bfloat16' "
                              f"or 'auto', got {compute_dtype!r}")
         return compute_dtype
-    return "bfloat16" if lstm_backend == "scan" else "float32"
+    return "bfloat16" if lstm_backend in ("scan", "auto") else "float32"
 
 
 def build_model_config(params: Dict[str, Any], vocab_size: int,

@@ -45,9 +45,11 @@ class EvalSession:
         self.params = params
         self.exp = Experiment(params, require_vocab_file=True)
         self.cfg = self.exp.cfg
+        from dvae_tpu.config import flat_optimizer_enabled
         state = create_train_state(self.exp.init_params,
                                    params["learn_rate"],
-                                   params["random_seed"])
+                                   params["random_seed"],
+                                   flat=flat_optimizer_enabled(params))
         state, next_epoch, ckpt = load_latest_checkpoint(
             state, self.exp.ckpt_dir)
         if ckpt is None:

@@ -35,9 +35,11 @@ class InferenceSession:
         self.cfg = self.exp.cfg
         self.max_sample_length = max_sample_length
 
+        from dvae_tpu.config import flat_optimizer_enabled
         state = create_train_state(self.exp.init_params,
                                    params["learn_rate"],
-                                   params["random_seed"])
+                                   params["random_seed"],
+                                   flat=flat_optimizer_enabled(params))
         state, _, ckpt_name = load_latest_checkpoint(state,
                                                      self.exp.ckpt_dir)
         if ckpt_name is None:

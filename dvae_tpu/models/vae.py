@@ -156,7 +156,11 @@ def _select_lstm_backend(cfg: ModelConfig, token_shape):
                 f"pallas LSTM unsupported for B={B} T={T} "
                 f"H={cfg.hidden_dim}")
         return lstm_scan_pallas
-    # auto: only on TPU with supported shapes
+    # auto: under bf16 the scan backend with pre-cast weights measures
+    # fastest (honest-timing A/B, benchmarks/RESULTS.md round 2); the
+    # f32-internal Pallas kernel wins only for f32, on TPU, when it fits
+    if cfg.compute_dtype == "bfloat16":
+        return lstm_scan
     if ok and jax.default_backend() == "tpu":
         return lstm_scan_pallas
     return lstm_scan

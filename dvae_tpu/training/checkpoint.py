@@ -19,11 +19,66 @@ import re
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
 import orbax.checkpoint as ocp
+from jax.flatten_util import ravel_pytree
 
 from dvae_tpu.training.step import TrainState
 
 _CKPT_RE = re.compile(r"^model_(\d+)$")
+
+
+def _is_flat_adam(node: optax.ScaleByAdamState) -> bool:
+    return not isinstance(node.mu, dict)
+
+
+def _map_adam(opt_state, fn):
+    """Apply fn to every ScaleByAdamState inside an optax state tuple,
+    preserving the (possibly nested) tuple/NamedTuple structure."""
+    if isinstance(opt_state, optax.ScaleByAdamState):
+        return fn(opt_state)
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "shape"):
+        children = [_map_adam(c, fn) for c in opt_state]
+        if hasattr(opt_state, "_fields"):  # NamedTuple
+            return type(opt_state)(*children)
+        return tuple(children)
+    return opt_state
+
+
+def _alternate_opt_template(opt_state, params_sub):
+    """Template for the OTHER flatness of an optimizer state: flat
+    (optax.flatten raveled moments) <-> nested (per-leaf moment trees).
+    Both layouts share the same chain nesting; only the Adam moments
+    differ, and optax.flatten's ravel order is jax.flatten_util's, so the
+    conversion is exact."""
+    flat_vec, _ = ravel_pytree(params_sub)
+
+    def alt(node):
+        if _is_flat_adam(node):  # flat on disk? no -- flat IN STATE
+            nested = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+                params_sub)
+            return node._replace(mu=nested, nu=nested)
+        sd = jax.ShapeDtypeStruct(flat_vec.shape, flat_vec.dtype)
+        return node._replace(mu=sd, nu=sd)
+
+    return _map_adam(opt_state, alt)
+
+
+def _convert_opt_values(restored_opt, params_sub, to_flat: bool):
+    """Convert a restored optimizer state between layouts."""
+    _, unravel = ravel_pytree(params_sub)
+
+    def conv(node):
+        if to_flat:
+            return node._replace(mu=ravel_pytree(node.mu)[0],
+                                 nu=ravel_pytree(node.nu)[0])
+        return node._replace(mu=unravel(jnp.asarray(node.mu)),
+                             nu=unravel(jnp.asarray(node.nu)))
+
+    return _map_adam(restored_opt, conv)
 
 _async_ckptr = None
 
@@ -72,16 +127,48 @@ def load_latest_checkpoint(state: TrainState, ckpt_dir: str
                            ) -> Tuple[TrainState, int, Optional[str]]:
     """Restore the highest-epoch checkpoint onto `state`'s structure.
     Returns (state, next_epoch, checkpoint_name_or_None); next_epoch is 0
-    when nothing is found (reference vae/utils.py:156-175)."""
+    when nothing is found (reference vae/utils.py:156-175).
+
+    Optimizer-layout compatibility: checkpoints written with the other
+    `flat_optimizer` setting (optax.flatten raveled moments vs per-leaf
+    moment trees) restore transparently -- the Adam moments are converted
+    exactly (same ravel order as optax.flatten uses)."""
     wait_for_saves()  # a just-written async checkpoint must be durable
     ep = latest_epoch(ckpt_dir)
     if ep is None:
         return state, 0, None
     path = checkpoint_path(ckpt_dir, ep)
-    template = jax.tree.map(
-        lambda x: ocp.utils.to_shape_dtype_struct(x) if hasattr(x, "shape")
-        else x, state._asdict())
-    with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, args=ocp.args.PyTreeRestore(
-            item=template))
+
+    def to_template(tree):
+        return jax.tree.map(
+            lambda x: ocp.utils.to_shape_dtype_struct(x)
+            if hasattr(x, "shape") else x, tree)
+
+    def restore(template):
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(path, args=ocp.args.PyTreeRestore(
+                item=template))
+
+    try:
+        restored = restore(to_template(state._asdict()))
+    except Exception:
+        # other optimizer layout on disk: restore with the alternate
+        # template, then convert the Adam moments onto `state`'s layout
+        d = state._asdict()
+        alt = dict(d)
+        for grp, sub in (("opt_main", "main"), ("opt_adv", "adv"),
+                         ("opt_mi", "mi")):
+            alt[grp] = _alternate_opt_template(d[grp],
+                                               state.params[sub])
+        restored = restore(to_template(alt))
+        for grp, sub in (("opt_main", "main"), ("opt_adv", "adv"),
+                         ("opt_mi", "mi")):
+            to_flat = any(_is_flat_adam(n) for n in
+                          jax.tree.leaves(
+                              d[grp],
+                              is_leaf=lambda x: isinstance(
+                                  x, optax.ScaleByAdamState))
+                          if isinstance(n, optax.ScaleByAdamState))
+            restored[grp] = _convert_opt_values(
+                restored[grp], restored["params"][sub], to_flat)
     return TrainState(**restored), ep + 1, f"model_{ep}"

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dvae_tpu.config import build_model_config, load_config
+from dvae_tpu.config import (build_model_config, flat_optimizer_enabled,
+                             load_config)
 from dvae_tpu.data import (BatchPipeline, DenoisingTextDataset,
                            RatioBatchSampler, ShuffleBatchSampler,
                            build_vocab, encode_labels, fit_label_codecs,
@@ -304,11 +305,14 @@ def run(params_file: str, verbose: bool = False) -> None:
             logging.info(f"  {labname}: {dict(values)}")
 
     # jitted programs
+    flat_opt = flat_optimizer_enabled(params)
     train_step = jax.jit(make_train_step(cfg, exp.constants,
-                                         params["learn_rate"]),
+                                         params["learn_rate"],
+                                         flat=flat_opt),
                          donate_argnums=(0,))
     train_epoch = jax.jit(make_train_epoch(cfg, exp.constants,
-                                           params["learn_rate"]),
+                                           params["learn_rate"],
+                                           flat=flat_opt),
                           donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(cfg, exp.constants))
     eval_epoch = jax.jit(make_eval_epoch(cfg, exp.constants))
@@ -356,7 +360,8 @@ def run(params_file: str, verbose: bool = False) -> None:
     # training state (+ resume -- reference run.py:578-591)
     mi_lr = 3e-5 if cfg.mi_estimator == "club_sample" else 5e-4
     state = create_train_state(exp.init_params, params["learn_rate"],
-                               params["random_seed"], mi_lr=mi_lr)
+                               params["random_seed"], mi_lr=mi_lr,
+                               flat=flat_opt)
     state = place_state(exp.plan, state)
     state, start_epoch, ckpt_name = load_latest_checkpoint(
         state, exp.ckpt_dir)
@@ -629,7 +634,8 @@ def run(params_file: str, verbose: bool = False) -> None:
                     wait_for_saves()
                     fresh = place_state(exp.plan, create_train_state(
                         exp.init_params, params["learn_rate"],
-                        params["random_seed"], mi_lr=mi_lr))
+                        params["random_seed"], mi_lr=mi_lr,
+                        flat=flat_opt))
                     state, start_epoch, name = load_latest_checkpoint(
                         fresh, exp.ckpt_dir)
                     logging.warning(

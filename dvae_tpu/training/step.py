@@ -54,19 +54,32 @@ class TrainState(NamedTuple):
     rng: jnp.ndarray                # base PRNG key; per-step keys fold in step
 
 
-def make_optimizers(learn_rate: float, mi_lr: float = 5e-4):
+def make_optimizers(learn_rate: float, mi_lr: float = 5e-4,
+                    flat: bool = False):
     """The three reference optimizer groups. mi_lr: 5e-4 for CLUB
-    (losses.py:42), 3e-5 for CLUBSample (losses.py:95)."""
+    (losses.py:42), 3e-5 for CLUBSample (losses.py:95).
+
+    flat wraps each group in optax.flatten: Adam runs on ONE raveled
+    vector per group instead of one fused op per parameter leaf. The
+    update values are bit-identical (Adam is elementwise; the global-norm
+    clip is the same on a raveled vector), but the per-step op count drops
+    by hundreds -- measurable on TPU, where each small op costs ~1 us of
+    fixed launch overhead. Off under tensor parallelism: a raveled moment
+    vector cannot carry the P('model', ...) sharding of dec/out."""
     opt_main = optax.chain(optax.clip_by_global_norm(5.0),
                            optax.adam(learn_rate))
     opt_adv = optax.adam(3e-4)
     opt_mi = optax.adam(mi_lr)  # clip(1.0) applied per estimator below
+    if flat:
+        opt_main, opt_adv, opt_mi = (optax.flatten(o) for o in
+                                     (opt_main, opt_adv, opt_mi))
     return opt_main, opt_adv, opt_mi
 
 
 def create_train_state(params: Dict, learn_rate: float, seed: int,
-                       mi_lr: float = 5e-4) -> TrainState:
-    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate, mi_lr)
+                       mi_lr: float = 5e-4, flat: bool = False
+                       ) -> TrainState:
+    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate, mi_lr, flat)
     return TrainState(
         params=params,
         opt_main=opt_main.init(params["main"]),
@@ -179,14 +192,16 @@ def _latents_out(cfg: ModelConfig, lp) -> Dict[str, Dict[str, jnp.ndarray]]:
             for name in cfg.latent_names}
 
 
-def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float):
+def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float,
+                    flat: bool = False):
     """Build the fused, jittable train step.
 
     Signature: step(state, batch, kl_weights_vec, tf_prob, mi_weight)
       -> (new_state, metrics, latents, token_predictions)
+    `flat` must match the TrainState's (see make_optimizers).
     """
     mi_lr = 3e-5 if cfg.mi_estimator == "club_sample" else 5e-4
-    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate, mi_lr)
+    opt_main, opt_adv, opt_mi = make_optimizers(learn_rate, mi_lr, flat)
 
     def train_step(state: TrainState, batch: Dict, kl_weights_vec,
                    tf_prob, mi_weight):
@@ -279,7 +294,8 @@ def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float):
     return train_step
 
 
-def make_train_epoch(cfg: ModelConfig, constants: Dict, learn_rate: float):
+def make_train_epoch(cfg: ModelConfig, constants: Dict, learn_rate: float,
+                     flat: bool = False):
     """Whole-epoch fusion: ONE device program per epoch.
 
     The per-step fused train step is ~1 ms of compute, so a Python loop
@@ -294,7 +310,7 @@ def make_train_epoch(cfg: ModelConfig, constants: Dict, learn_rate: float):
       klw_seq: [S, n_latents] per-step KL weight vectors
       -> (state, metrics_seq, latents_seq, preds_seq) all stacked on S.
     """
-    train_step = make_train_step(cfg, constants, learn_rate)
+    train_step = make_train_step(cfg, constants, learn_rate, flat)
 
     def epoch_fn(state: TrainState, batches: Dict, klw_seq, tf_prob,
                  mi_weight):

@@ -110,8 +110,10 @@ def main():
     sd = {k: v.numpy() for k, v in ckpt["model_state_dict"].items()}
     mapped = map_state_dict(sd, exp.cfg)
 
+    from dvae_tpu.config import flat_optimizer_enabled
     state = create_train_state(exp.init_params, params["learn_rate"],
-                               params["random_seed"])
+                               params["random_seed"],
+                               flat=flat_optimizer_enabled(params))
 
     def merge(dst, src, path=""):
         out = {}

@@ -124,7 +124,8 @@ def test_compute_dtype_auto_resolution():
     from dvae_tpu.config import _resolve_compute_dtype
     assert _resolve_compute_dtype("auto", "scan") == "bfloat16"
     assert _resolve_compute_dtype("auto", "pallas") == "float32"
-    assert _resolve_compute_dtype("auto", "auto") == "float32"
+    # auto+auto -> bf16 (scan+bf16 measured fastest; RESULTS.md round 2)
+    assert _resolve_compute_dtype("auto", "auto") == "bfloat16"
     assert _resolve_compute_dtype("bfloat16", "pallas") == "bfloat16"
     import pytest
     with pytest.raises(ValueError):
