@@ -7,6 +7,10 @@ from dvae_tpu.training import create_train_state, kl_weight_vector, make_train_s
 
 variant = sys.argv[1]
 flat = "--noflat" not in sys.argv
+if "--rbg" in sys.argv:
+    # TPU hardware RNG instead of threefry: distribution-equal draws,
+    # bit-different streams; measures the threefry share of sampling cost
+    jax.config.update("jax_default_prng_impl", "rbg")
 kw = {"scan_f32": dict(lstm_backend="scan"),
       "pallas_f32": dict(lstm_backend="pallas"),
       "scan_bf16": dict(lstm_backend="scan", compute_dtype="bfloat16"),
