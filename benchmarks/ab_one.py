@@ -20,6 +20,9 @@ kw = {"scan_f32": dict(lstm_backend="scan"),
                             fused_ce_backend="pallas"),
       "xla_ce": dict(lstm_backend="pallas", fused_ce_backend="xla")}[variant]
 B = 128
+for a in sys.argv[2:]:
+    if a.startswith("--batch="):
+        B = int(a.split("=")[1])
 base = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2, max_length=17)
 cfg = dataclasses.replace(base, **kw)
 batch_np = ge._synthetic_batch(cfg, B=B, seed=0)

@@ -120,6 +120,12 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     "mi_estimator": (str, "club"),
     "fused_decoder_ce": (bool, True),
     "fused_ce_backend": (str, "xla"),
+    # Sampling algorithm inside the fused decoder CE op: "gumbel"
+    # (jax.random.categorical -- bit-identical draws to the reference
+    # path, one random number per logit) or "cdf" (inverse-CDF -- same
+    # categorical distribution, one random number per row; cheaper on TPU
+    # where threefry generation over [B, V] is pure VPU work).
+    "decoder_sampler": (str, "gumbel"),
     "debug_nans": (bool, False),
     # Checkpoint every Nth epoch (the reference checkpoints every epoch;
     # the final trained epoch is always checkpointed). The device->host
@@ -249,6 +255,8 @@ class ModelConfig:
     # [B, V] tensor anywhere; samples use the in-kernel PRNG so draws are
     # distribution-equal but not bit-equal to the XLA path), or "auto".
     fused_ce_backend: str = "xla"
+    # see OPTIONAL_SCHEMA["decoder_sampler"]
+    decoder_sampler: str = "gumbel"
     # If true, eval-mode latents use z = mu (fixes reference quirk #1, the
     # dead eval branch at model.py:391-395). Default false: preserve the
     # reference's always-stochastic z, which the MIG protocol expects.
@@ -409,6 +417,7 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         mi_estimator=params.get("mi_estimator", "club"),
         fused_decoder_ce=params.get("fused_decoder_ce", True),
         fused_ce_backend=params.get("fused_ce_backend", "xla"),
+        decoder_sampler=params.get("decoder_sampler", "gumbel"),
         deterministic_eval_z=params.get("deterministic_eval_z", False),
         pos_weights=tuple(sorted((k, float(v)) for k, v in pw.items())),
         padded_vocab_size=padded_vocab,

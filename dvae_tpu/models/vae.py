@@ -405,7 +405,8 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
                 jax.default_backend() != "tpu")
         else:
             ce_t, sampled = out_proj_ce_sample(x, out_w, out_b, target_t,
-                                               k_samp, cfg.compute_dtype)
+                                               k_samp, cfg.compute_dtype,
+                                               cfg.decoder_sampler)
         ce_acc = ce_acc + ce_t * (t < lengths)
         teacher = jax.lax.dynamic_index_in_dim(inputs, t, axis=1,
                                                keepdims=False)

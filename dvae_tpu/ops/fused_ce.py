@@ -26,32 +26,51 @@ import jax.numpy as jnp
 from dvae_tpu.models.layers import dot
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def out_proj_ce_sample(h, w, b, target, key, compute_dtype="float32"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def out_proj_ce_sample(h, w, b, target, key, compute_dtype="float32",
+                       sampler="gumbel"):
     """h [B,H], w [V,H], b [V], target [B] int, key -> (ce [B], sampled [B]).
 
     ce = logsumexp(h@w.T + b) - (h@w.T + b)[target]; sampled ~ softmax.
+
+    sampler: "gumbel" draws via jax.random.categorical (Gumbel-argmax; one
+    random number PER LOGIT, bit-identical to the materialized-logits
+    baseline given the same key). "cdf" draws via inverse-CDF (softmax ->
+    cumsum -> one uniform per ROW): exactly the same categorical
+    distribution, different draws, and ~V fewer random bits per sample --
+    the Gumbel path's threefry generation over [B, V] is pure VPU ALU
+    work. The uniform is scaled by the cumsum total, so float rounding in
+    the cumsum cannot index past the last nonzero-probability entry (in
+    particular, inert vocab padding rows can never be sampled).
     """
-    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype)
+    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype, sampler)
     return ce, sampled
 
 
-def _forward(h, w, b, target, key, compute_dtype):
+def _forward(h, w, b, target, key, compute_dtype, sampler):
     logits = dot(h, w, compute_dtype) + b
     lse = jax.nn.logsumexp(logits, axis=-1)
     tgt = jnp.take_along_axis(logits, target[:, None].astype(jnp.int32),
                               axis=-1)[:, 0]
-    sampled = jax.random.categorical(key, logits).astype(jnp.int32)
+    if sampler == "cdf":
+        p = jnp.exp(logits - lse[:, None])
+        c = jnp.cumsum(p, axis=-1)
+        u = jax.random.uniform(key, (logits.shape[0],)) * c[:, -1]
+        sampled = jnp.sum(c < u[:, None], axis=-1).astype(jnp.int32)
+    elif sampler == "gumbel":
+        sampled = jax.random.categorical(key, logits).astype(jnp.int32)
+    else:
+        raise ValueError(f"unknown sampler {sampler!r}")
     return lse - tgt, sampled, logits
 
 
-def _fwd(h, w, b, target, key, compute_dtype):
-    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype)
+def _fwd(h, w, b, target, key, compute_dtype, sampler):
+    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype, sampler)
     # residuals exclude the logits -- that is the whole point
     return (ce, sampled), (h, w, b, target)
 
 
-def _bwd(compute_dtype, res, grads):
+def _bwd(compute_dtype, sampler, res, grads):
     h, w, b, target = res
     g_ce, _g_sampled = grads  # sampling is non-differentiable
     logits = dot(h, w, compute_dtype) + b        # rematerialized

@@ -184,3 +184,54 @@ def test_bf16_train_step_runs_both_ce_paths():
         assert np.isfinite(float(metrics["total_loss"]))
         # master weights stay f32: the cast is per-step compute only
         assert new_state.params["main"]["z2h"]["w"].dtype == jnp.float32
+
+
+def test_cdf_sampler_distribution_and_padding():
+    """decoder_sampler="cdf": identical CE, same categorical distribution
+    (chi-square-ish tolerance against exact probs), and inert padding rows
+    are never sampled even though they occupy logits columns."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dvae_tpu.ops.fused_ce import out_proj_ce_sample
+
+    rng = np.random.default_rng(0)
+    B, H, V, VP = 64, 8, 7, 10  # 3 padded rows
+    h = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((VP, H)), jnp.float32)
+    w = w.at[V:].set(0.0)
+    b = jnp.zeros((VP,), jnp.float32).at[V:].set(-1e9)
+    target = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+
+    ce_g, _ = out_proj_ce_sample(h, w, b, target, jax.random.PRNGKey(1),
+                                 "float32", "gumbel")
+    ce_c, _ = out_proj_ce_sample(h, w, b, target, jax.random.PRNGKey(1),
+                                 "float32", "cdf")
+    np.testing.assert_allclose(np.asarray(ce_g), np.asarray(ce_c),
+                               rtol=1e-6)
+
+    # empirical distribution of row 0 over many keys vs exact softmax
+    logits = np.asarray(h @ w.T + b)
+    p = np.exp(logits[0] - logits[0].max())
+    p /= p.sum()
+    draws = []
+    f = jax.jit(lambda k: out_proj_ce_sample(
+        h, w, b, target, k, "float32", "cdf")[1])
+    for i in range(300):
+        s = np.asarray(f(jax.random.PRNGKey(i)))
+        assert (s < V).all(), "padding row sampled"
+        draws.append(s[0])
+    freq = np.bincount(draws, minlength=VP) / len(draws)
+    assert freq[V:].sum() == 0
+    np.testing.assert_allclose(freq[:V], p[:V], atol=0.08)
+
+    # gradients are identical regardless of sampler
+    def loss(sampler):
+        def f(hh):
+            ce, _ = out_proj_ce_sample(hh, w, b, target,
+                                       jax.random.PRNGKey(3), "float32",
+                                       sampler)
+            return ce.sum()
+        return jax.grad(f)(h)
+    np.testing.assert_allclose(np.asarray(loss("gumbel")),
+                               np.asarray(loss("cdf")), rtol=1e-6)
