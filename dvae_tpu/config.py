@@ -126,6 +126,10 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # categorical distribution, one random number per row; cheaper on TPU
     # where threefry generation over [B, V] is pure VPU work).
     "decoder_sampler": (str, "gumbel"),
+    # Unroll factor for the decode scan (identical math; measured neutral
+    # at flagship scale -- 6.43 ms/step at unroll=2 vs 6.45 at 1, worse at
+    # 4 -- the loop body's op overhead dominates, not iteration overhead).
+    "decode_unroll": (int, 1),
     "debug_nans": (bool, False),
     # Checkpoint every Nth epoch (the reference checkpoints every epoch;
     # the final trained epoch is always checkpointed). The device->host
@@ -257,6 +261,9 @@ class ModelConfig:
     fused_ce_backend: str = "xla"
     # see OPTIONAL_SCHEMA["decoder_sampler"]
     decoder_sampler: str = "gumbel"
+    # lax.scan unroll factor for the autoregressive decode loops: >1 trades
+    # compile time/code size for fewer loop iterations (identical math)
+    decode_unroll: int = 1
     # If true, eval-mode latents use z = mu (fixes reference quirk #1, the
     # dead eval branch at model.py:391-395). Default false: preserve the
     # reference's always-stochastic z, which the MIG protocol expects.
@@ -418,6 +425,7 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         fused_decoder_ce=params.get("fused_decoder_ce", True),
         fused_ce_backend=params.get("fused_ce_backend", "xla"),
         decoder_sampler=params.get("decoder_sampler", "gumbel"),
+        decode_unroll=params.get("decode_unroll", 1),
         deterministic_eval_z=params.get("deterministic_eval_z", False),
         pos_weights=tuple(sorted((k, float(v)) for k, v in pw.items())),
         padded_vocab_size=padded_vocab,

@@ -341,7 +341,7 @@ def decode_teacher_forced(main: Dict, constants: Dict, cfg: ModelConfig,
         return (h, c, nxt), (logits_t, nxt)
 
     (_, _, _), (logits_seq, preds_seq) = jax.lax.scan(
-        step, (h, c, prev0), jnp.arange(1, T))
+        step, (h, c, prev0), jnp.arange(1, T), unroll=cfg.decode_unroll)
     logits0, preds0 = _sos_first_step(cfg, B, T)
     logits = jnp.concatenate(
         [logits0[:, None, :], jnp.swapaxes(logits_seq, 0, 1)], axis=1)
@@ -416,7 +416,7 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
 
     (_, _, _, ce_acc), preds_seq = jax.lax.scan(
         step, (h, c, prev0, jnp.zeros((B,), jnp.float32)),
-        jnp.arange(1, T))
+        jnp.arange(1, T), unroll=cfg.decode_unroll)
     # position 0: constant CE of the hardcoded SOS one-hot row
     ce = ce_acc + sos_position_ce(cfg.vocab_size)
     preds0 = jnp.full((B, 1), cfg.sos_idx, dtype=inputs.dtype)

@@ -293,3 +293,29 @@ def test_cast_matmul_weights_identity_and_structure():
     assert (inline == precast).all()
 
     assert cast_matmul_weights(p, "float32") is p
+
+
+def test_decode_unroll_bit_identical():
+    """decode_unroll only restructures the scan; outputs must be
+    bit-identical."""
+    import dataclasses
+    from dvae_tpu.models.vae import forward_with_ce, init_vae_params
+    from tests.test_train_step import make_cfg
+
+    cfg1 = make_cfg(encoder_dropout=0.0, decoder_dropout=0.0)
+    cfg2 = dataclasses.replace(cfg1, decode_unroll=2)
+    params, constants = init_vae_params(jax.random.PRNGKey(0), cfg1)
+    B, T = 4, cfg1.max_length
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.integers(4, cfg1.vocab_size, (B, T)), jnp.int32)
+    lengths = jnp.asarray([T, T - 1, 4, 3], jnp.int32)
+    outs = []
+    for cfg in (cfg1, cfg2):
+        o = forward_with_ce(params, constants, cfg, X, X, lengths,
+                            jax.random.PRNGKey(7), jnp.asarray(0.5),
+                            train=False)
+        outs.append(o)
+    np.testing.assert_array_equal(np.asarray(outs[0]["recon_ce"]),
+                                  np.asarray(outs[1]["recon_ce"]))
+    np.testing.assert_array_equal(np.asarray(outs[0]["token_predictions"]),
+                                  np.asarray(outs[1]["token_predictions"]))
