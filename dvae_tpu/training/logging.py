@@ -65,7 +65,11 @@ class ScalarWriter:
             if isinstance(item, threading.Event):
                 item.set()
                 continue
-            self._write_one(*item)
+            try:
+                self._write_one(*item)
+            except Exception:  # keep draining: a dead worker would hang
+                import logging as _logging  # flush()/close() barriers
+                _logging.exception("scalar write failed")
 
     def _barrier(self) -> None:
         if not self._worker.is_alive():
