@@ -18,6 +18,8 @@ kw = {"scan_f32": dict(lstm_backend="scan"),
       "pallas_ce": dict(lstm_backend="pallas", fused_ce_backend="pallas"),
       "scan_bf16_pce": dict(lstm_backend="scan", compute_dtype="bfloat16",
                             fused_ce_backend="pallas"),
+      "scan_bf16_cdf": dict(lstm_backend="scan", compute_dtype="bfloat16",
+                            decoder_sampler="cdf"),
       "xla_ce": dict(lstm_backend="pallas", fused_ce_backend="xla")}[variant]
 B = 128
 unroll = 1

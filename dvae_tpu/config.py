@@ -123,8 +123,11 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # Sampling algorithm inside the fused decoder CE op: "gumbel"
     # (jax.random.categorical -- bit-identical draws to the reference
     # path, one random number per logit) or "cdf" (inverse-CDF -- same
-    # categorical distribution, one random number per row; cheaper on TPU
-    # where threefry generation over [B, V] is pure VPU work).
+    # categorical distribution, one random number per row). MEASURED
+    # SLOWER on TPU at flagship scale (10.7 vs 6.5 ms/step: the [B, V]
+    # cumsum costs more than the threefry draws it saves), so gumbel
+    # stays the default; the knob documents the negative result and keeps
+    # the option for backends/shapes where the trade reverses.
     "decoder_sampler": (str, "gumbel"),
     # Unroll factor for the decode scan (identical math; measured neutral
     # at flagship scale -- 6.43 ms/step at unroll=2 vs 6.45 at 1, worse at
