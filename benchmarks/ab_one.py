@@ -23,13 +23,16 @@ kw = {"scan_f32": dict(lstm_backend="scan"),
       "xla_ce": dict(lstm_backend="pallas", fused_ce_backend="xla")}[variant]
 B = 128
 unroll = 1
+vpad = -1
 for a in sys.argv[2:]:
     if a.startswith("--batch="):
         B = int(a.split("=")[1])
     if a.startswith("--unroll="):
         unroll = int(a.split("=")[1])
+    if a.startswith("--vpad="):
+        vpad = int(a.split("=")[1])
 base = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2, max_length=17)
-cfg = dataclasses.replace(base, decode_unroll=unroll, **kw)
+cfg = dataclasses.replace(base, decode_unroll=unroll, padded_vocab_size=vpad, **kw)
 batch_np = ge._synthetic_batch(cfg, B=B, seed=0)
 batch = {k: (jnp.asarray(v) if not isinstance(v, dict) else {n: jnp.asarray(a) for n, a in v.items()}) for k, v in batch_np.items()}
 params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)

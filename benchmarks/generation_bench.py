@@ -1,0 +1,61 @@
+"""Free-running generation throughput: batched `sample()` from the prior.
+
+The serving-side analogue of bench.py: decode max_length tokens
+autoregressively (multinomial sampling, no teacher) from z ~ N(0, I) at
+flagship scale, batched. Timing windows close with host value fetches
+(block_until_ready is not a reliable barrier on this device runtime --
+see benchmarks/RESULTS.md).
+
+Usage: python benchmarks/generation_bench.py [batch ...]  (default 128 512)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__ as ge
+from dvae_tpu.models import init_vae_params
+from dvae_tpu.models.vae import sample
+
+MAX_LEN = 30  # reference inspect_model default (model.py:484-512)
+
+
+def run(B):
+    cfg = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256,
+                           layers=2, max_length=17)
+    params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def gen(main, z, key):
+        return sample(main, constants, cfg, z, key,
+                      max_length=MAX_LEN)["token_predictions"]
+
+    key = jax.random.PRNGKey(1)
+    z = jax.random.normal(key, (B, cfg.total_latent_dim))
+    preds = gen(params["main"], z, key)
+    int(preds[0, 0])  # compile + barrier
+    times = []
+    for rep in range(4):
+        t0 = time.time()
+        preds = gen(params["main"], z, jax.random.fold_in(key, rep))
+        int(preds[0, -1])  # host fetch barrier
+        times.append(time.time() - t0)
+    dt = sorted(times[1:])[1]
+    toks = B * MAX_LEN
+    print(f"B={B:5d}: {dt * 1e3:8.2f} ms/batch  "
+          f"{toks / dt:12.0f} tokens/sec generated")
+
+
+def main():
+    for b in [int(x) for x in sys.argv[1:]] or [128, 512]:
+        run(b)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,8 +76,11 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # vocab_pad_multiple) with -1e9 bias rows: exactly zero probability,
     # exactly zero gradient, so results match the unpadded model.
     "num_model_shards": (int, 1),
-    # Pad the output-projection vocab dimension to a multiple of this (e.g.
-    # 128 for MXU lane alignment). Padding rows are inert (see above).
+    # Pad the output-projection vocab dimension to a multiple of this.
+    # Padding rows are inert (see above). Measured neutral-to-slightly-
+    # negative for pure MXU alignment at V=20k (XLA already tiles
+    # internally); its real use is making uneven vocabs shard evenly
+    # under num_model_shards.
     "vocab_pad_multiple": (int, 1),
     # Per-label positive-class weight for the BCE discriminator/adversary
     # heads (torch BCEWithLogitsLoss(pos_weight) semantics), e.g.
