@@ -94,23 +94,67 @@ def checkpoint_path(ckpt_dir: str, epoch: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"model_{epoch}")
 
 
+_save_threads: list = []
+_save_lock = __import__("threading").Lock()
+
+
+@jax.jit
+def _snapshot(tree):
+    """Copy every leaf into fresh device buffers (outputs of a jitted copy
+    cannot alias the un-donated inputs), so a later donation of the
+    original state cannot invalidate the checkpoint worker's view."""
+    return jax.tree.map(jnp.copy, tree)
+
+
 def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
                     use_async: bool = True) -> str:
-    """Write a checkpoint. Async by default: serialization overlaps the
-    next epoch's compute (a synchronous save costs more wall-clock than a
-    whole training epoch at this model scale); `wait_for_saves()` barriers.
+    """Write a checkpoint. Async by default -- including the device->host
+    state copy: orbax's AsyncCheckpointer only backgrounds the disk write
+    and still BLOCKS on the d2h transfer (~6 s/epoch for the ~256 MiB
+    flagship TrainState through a slow device link). Here a device-side
+    snapshot is taken first (see _snapshot -- the next epoch's donated
+    call would otherwise invalidate the buffers mid-copy), its d2h DMA is
+    kicked with copy_to_host_async, and a worker thread materializes the
+    host arrays and runs the orbax save, so the training thread never
+    waits. `wait_for_saves()` barriers everything.
     """
+    import threading
+
     path = checkpoint_path(ckpt_dir, epoch)
-    if use_async:
-        _get_async_checkpointer().save(path, state._asdict(), force=True)
-    else:
+    if not use_async:
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, state._asdict(), force=True)
+        return path
+
+    # Device-side snapshot first: the NEXT epoch's donated call reuses the
+    # live state buffers, so the worker must never read them. One jitted
+    # tree-copy program (compiled once per structure) gives fresh buffers
+    # the donation cannot touch; the d2h DMA then streams from the
+    # snapshot in the background.
+    d = _snapshot(state._asdict())
+    jax.tree.map(lambda x: x.copy_to_host_async()
+                 if hasattr(x, "copy_to_host_async") else None, d)
+
+    def work():
+        host = jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, d)
+        with _save_lock:
+            ckptr = _get_async_checkpointer()
+            ckptr.wait_until_finished()  # one in-flight orbax save at a time
+            ckptr.save(path, host, force=True)
+
+    _save_threads[:] = [t for t in _save_threads if t.is_alive()]
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    _save_threads.append(t)
     return path
 
 
 def wait_for_saves() -> None:
     """Block until all in-flight async checkpoint saves are durable."""
+    for t in _save_threads:
+        t.join()
+    _save_threads.clear()
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
 
@@ -171,4 +215,12 @@ def load_latest_checkpoint(state: TrainState, ckpt_dir: str
                           if isinstance(n, optax.ScaleByAdamState))
             restored[grp] = _convert_opt_values(
                 restored[grp], restored["params"][sub], to_flat)
-    return TrainState(**restored), ep + 1, f"model_{ep}"
+    out = TrainState(**restored)
+    # Checkpoints written from host arrays (the fully-async save path)
+    # restore as numpy; re-place every such leaf onto the template's
+    # device sharding so the returned state behaves like the one it
+    # replaces (donation, is_deleted detection, no implicit re-uploads).
+    out = jax.tree.map(
+        lambda r, s: r if isinstance(r, jax.Array)
+        else jax.device_put(r, getattr(s, "sharding", None)), out, state)
+    return out, ep + 1, f"model_{ep}"
