@@ -6,7 +6,8 @@ from dvae_tpu.models import init_vae_params
 from dvae_tpu.training import create_train_state, kl_weight_vector, make_train_step
 
 variant = sys.argv[1]
-flat = "--noflat" not in sys.argv
+# default matches the production default (flat_optimizer off)
+flat = "--flat" in sys.argv
 if "--rbg" in sys.argv:
     # TPU hardware RNG instead of threefry: distribution-equal draws,
     # bit-different streams; measures the threefry share of sampling cost

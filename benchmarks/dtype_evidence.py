@@ -115,20 +115,25 @@ def convert_census(hlo: str):
 
 
 def measure(step, args, n=20, trace_dir=None):
+    # timing windows close with host VALUE fetches: block_until_ready is
+    # not a reliable barrier through this device runtime (see
+    # benchmarks/RESULTS.md round-2 correction); first rep absorbs backlog
     state, batch, klw, tf, miw = args
     for _ in range(3):
         state, metrics, _, _ = step(state, batch, klw, tf, miw)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
-    t0 = time.time()
-    for _ in range(n):
-        state, metrics, _, _ = step(state, batch, klw, tf, miw)
-    jax.block_until_ready(metrics["total_loss"])
-    dt = (time.time() - t0) / n
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(n):
+            state, metrics, _, _ = step(state, batch, klw, tf, miw)
+        loss = float(metrics["total_loss"])
+        best = (time.time() - t0) / n
     if trace_dir:
         jax.profiler.stop_trace()
-    return dt * 1000, float(metrics["total_loss"])
+    return best * 1000, loss
 
 
 def main():

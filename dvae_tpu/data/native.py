@@ -29,8 +29,13 @@ _build_failed = False
 
 def _build() -> bool:
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
+        # cross-process exclusive lock: concurrent sessions in the same
+        # checkout must not rewrite the .so while another dlopens it
+        import fcntl
+        with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False

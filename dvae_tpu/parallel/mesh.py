@@ -69,15 +69,18 @@ def _tp_spec_for_path(path) -> P:
     ("dec" -> "out" -> {"w" [V, H], "b" [V]}) is sharded over 'model' along
     the (padded) vocab dimension; everything else -- including its mirrored
     subtrees inside the optax optimizer state -- is replicated. Matching on
-    the ("out", "w"/"b") path suffix covers both params and Adam moments,
-    because optax moment trees mirror the param tree's dict keys.
+    the ("dec", "out", "w"/"b") path suffix covers both params and Adam
+    moments, because optax moment trees mirror the param tree's dict keys.
     """
     keys = [p.key for p in path if hasattr(p, "key")]
-    for i in range(len(keys) - 1):
-        if keys[i] == "out" and keys[i + 1] == "w":
-            return P("model", None)
-        if keys[i] == "out" and keys[i + 1] == "b":
-            return P("model")
+    for i in range(len(keys) - 2):
+        # anchor on the full ("dec", "out", ...) suffix: label/latent
+        # names come from user data and could legitimately be "out"
+        if keys[i] == "dec" and keys[i + 1] == "out":
+            if keys[i + 2] == "w":
+                return P("model", None)
+            if keys[i + 2] == "b":
+                return P("model")
     return P()
 
 

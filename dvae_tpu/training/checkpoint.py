@@ -14,8 +14,10 @@ onto the TrainState template's shardings.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -95,7 +97,8 @@ def checkpoint_path(ckpt_dir: str, epoch: int) -> str:
 
 
 _save_threads: list = []
-_save_lock = __import__("threading").Lock()
+_save_lock = threading.Lock()
+_save_errors: list = []
 
 
 @jax.jit
@@ -118,8 +121,6 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
     host arrays and runs the orbax save, so the training thread never
     waits. `wait_for_saves()` barriers everything.
     """
-    import threading
-
     path = checkpoint_path(ckpt_dir, epoch)
     if not use_async:
         with ocp.PyTreeCheckpointer() as ckptr:
@@ -136,12 +137,17 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
                  if hasattr(x, "copy_to_host_async") else None, d)
 
     def work():
-        host = jax.tree.map(
-            lambda x: np.asarray(x) if hasattr(x, "shape") else x, d)
-        with _save_lock:
-            ckptr = _get_async_checkpointer()
-            ckptr.wait_until_finished()  # one in-flight orbax save at a time
-            ckptr.save(path, host, force=True)
+        try:
+            host = jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x, d)
+            with _save_lock:
+                ckptr = _get_async_checkpointer()
+                # one in-flight orbax save at a time
+                ckptr.wait_until_finished()
+                ckptr.save(path, host, force=True)
+        except Exception as e:  # surfaced by wait_for_saves()
+            logging.exception(f"async checkpoint save to {path} failed")
+            _save_errors.append(e)
 
     _save_threads[:] = [t for t in _save_threads if t.is_alive()]
     t = threading.Thread(target=work, daemon=True)
@@ -151,12 +157,18 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
 
 
 def wait_for_saves() -> None:
-    """Block until all in-flight async checkpoint saves are durable."""
+    """Block until all in-flight async checkpoint saves are durable.
+    Re-raises the first error any save worker hit -- a silently missing
+    checkpoint must not look like success."""
     for t in _save_threads:
         t.join()
     _save_threads.clear()
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
+    if _save_errors:
+        err = _save_errors[0]
+        _save_errors.clear()
+        raise RuntimeError("async checkpoint save failed") from err
 
 
 def latest_epoch(ckpt_dir: str) -> Optional[int]:
@@ -196,8 +208,12 @@ def load_latest_checkpoint(state: TrainState, ckpt_dir: str
     try:
         restored = restore(to_template(state._asdict()))
     except Exception:
-        # other optimizer layout on disk: restore with the alternate
-        # template, then convert the Adam moments onto `state`'s layout
+        # Most likely the other optimizer layout on disk: retry with the
+        # alternate template and convert the Adam moments onto `state`'s
+        # layout. Log the original failure so a genuinely corrupt
+        # checkpoint is not masked by a confusing second error.
+        logging.info("primary checkpoint restore failed; retrying with "
+                     "the alternate optimizer layout", exc_info=True)
         d = state._asdict()
         alt = dict(d)
         for grp, sub in (("opt_main", "main"), ("opt_adv", "adv"),
@@ -220,7 +236,12 @@ def load_latest_checkpoint(state: TrainState, ckpt_dir: str
     # restore as numpy; re-place every such leaf onto the template's
     # device sharding so the returned state behaves like the one it
     # replaces (donation, is_deleted detection, no implicit re-uploads).
-    out = jax.tree.map(
-        lambda r, s: r if isinstance(r, jax.Array)
-        else jax.device_put(r, getattr(s, "sharding", None)), out, state)
+    def replace(r, s):
+        want = getattr(s, "sharding", None)
+        if isinstance(r, jax.Array) and (want is None
+                                         or r.sharding == want):
+            return r
+        return jax.device_put(r, want)
+
+    out = jax.tree.map(replace, out, state)
     return out, ep + 1, f"model_{ep}"

@@ -176,6 +176,10 @@ class Experiment:
         n_data = params.get("num_data_shards", 1)
         n_model = params.get("num_model_shards", 1)
         avail = len(jax.devices())
+        if n_model < 1 or n_model > avail:
+            raise ValueError(
+                f"num_model_shards {n_model} needs at least that many "
+                f"devices (have {avail})")
         if n_data <= 0 or n_data * n_model > avail:
             n_data = avail // n_model
         if params["batch_size"] % n_data != 0:

@@ -186,7 +186,6 @@ def log_params_async(latent_logs, example_ids, logdir: str,
     (1 CPU core, ~2M floats at 100k scale) overlaps the next epoch's device
     compute. Files are per-(dataset, epoch) unique so writes never contend;
     call wait_for_metadata_writes() before reading them back or exiting."""
-    import threading
     _metadata_threads[:] = [t for t in _metadata_threads if t.is_alive()]
     t = threading.Thread(
         target=log_params,
@@ -204,23 +203,30 @@ def log_latents_async(latents_seq, masks, example_ids, logdir: str,
     slow device link), the mask gather, and the CSV formatting all run in
     the background thread, overlapped with the next epoch's compute. The
     caller should kick off the DMA first via copy_to_host_async."""
-    import threading
-
-    def work():
+    def work(latents_box):
         keep = np.concatenate(
             [np.asarray(m).astype(bool) for m in masks])
 
         def host_rows(arr):
-            a = np.asarray(arr)          # no-op if already fetched
+            a = np.asarray(arr)          # completes the async DMA
             return a.reshape(-1, a.shape[-1])[keep]
 
+        # materialize EVERYTHING to host first and drop the device refs,
+        # so the ~150 MB of per-epoch device latents are freed as soon as
+        # the DMA finishes rather than pinned until the CSVs are written
         gathered = {ln: {pn: host_rows(arr)
                          for pn, arr in per_param.items()}
-                    for ln, per_param in latents_seq.items()}
+                    for ln, per_param in latents_box.pop().items()}
         log_params(gathered, example_ids, logdir, dataset_name, epoch)
 
+    # backpressure: at most 2 epochs of metadata in flight -- a slow disk
+    # must not accumulate unbounded threads + pinned device buffers
     _metadata_threads[:] = [t for t in _metadata_threads if t.is_alive()]
-    t = threading.Thread(target=work, daemon=True)
+    while len(_metadata_threads) >= 2:
+        _metadata_threads.pop(0).join()
+    box = [latents_seq]
+    del latents_seq
+    t = threading.Thread(target=work, args=(box,), daemon=True)
     t.start()
     _metadata_threads.append(t)
 
