@@ -20,14 +20,19 @@ import numpy as np
 sys.path.insert(0, os.path.abspath(os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "..")))
 
-BASE = "logs/combined/sfu_conceptnet"
+BASE = "logs"
 MODELS = [
-    ("baseline", 10, "vae_cyclic"),
-    ("baseline", 20, "vae_cyclic_s20"),
-    ("baseline", 30, "vae_cyclic_s30"),
-    ("posw10", 10, "vae_cyclic_uposw"),
-    ("posw10", 20, "vae_cyclic_uposw_s20"),
-    ("posw10", 30, "vae_cyclic_uposw_s30"),
+    ("baseline", 10, "combined/sfu_conceptnet/vae_cyclic"),
+    ("baseline", 20, "combined/sfu_conceptnet/vae_cyclic_s20"),
+    ("baseline", 30, "combined/sfu_conceptnet/vae_cyclic_s30"),
+    ("posw10", 10, "combined/sfu_conceptnet/vae_cyclic_uposw"),
+    ("posw10", 20, "combined/sfu_conceptnet/vae_cyclic_uposw_s20"),
+    ("posw10", 30, "combined/sfu_conceptnet/vae_cyclic_uposw_s30"),
+    # round-2 bf16 ("auto" compute) reruns of the same protocol
+    ("bf16-baseline", 10, "vae_cyclic_bf16"),
+    ("bf16-posw10", 10, "bf16_uposw_s10"),
+    ("bf16-posw10", 20, "bf16_uposw_s20"),
+    ("bf16-posw10", 30, "bf16_uposw_s30"),
 ]
 
 
@@ -87,7 +92,8 @@ def main():
               f"{r['MI_best_other']:>13.4f}{str(r['wins']):>6}"
               f"{r['MIG_mean']:>8.3f}±{r['MIG_std']:<5.3f}")
 
-    for variant in ("baseline", "posw10"):
+    for variant in ("baseline", "posw10", "bf16-baseline",
+                    "bf16-posw10"):
         for label in ("polarity", "uncertainty"):
             vs = [r for r in rows
                   if r["variant"] == variant and r["label"] == label]
