@@ -100,7 +100,8 @@ def write_csv_f32(path: str, arr: np.ndarray) -> bool:
                           a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                           a.shape[0], a.shape[1])
     if n < 0:
-        raise OSError(f"native CSV writer could not open {path!r}")
+        raise OSError(f"native CSV writer failed to open or fully write "
+                      f"{path!r} (disk full / permission?)")
     return True
 
 

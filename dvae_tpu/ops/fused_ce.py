@@ -55,7 +55,10 @@ def _forward(h, w, b, target, key, compute_dtype, sampler):
     if sampler == "cdf":
         p = jnp.exp(logits - lse[:, None])
         c = jnp.cumsum(p, axis=-1)
-        u = jax.random.uniform(key, (logits.shape[0],)) * c[:, -1]
+        # (1 - uniform) maps [0,1) onto (0,1]: u is guaranteed positive, so
+        # a zero-probability index 0 (p[0]==0 => c[0]==0 < u) can never be
+        # selected even when the generator returns exactly 0.0
+        u = (1.0 - jax.random.uniform(key, (logits.shape[0],))) * c[:, -1]
         sampled = jnp.sum(c < u[:, None], axis=-1).astype(jnp.int32)
     elif sampler == "gumbel":
         sampled = jax.random.categorical(key, logits).astype(jnp.int32)

@@ -127,7 +127,17 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
             ckptr.save(path, state._asdict(), force=True)
         return path
 
-    # Device-side snapshot first: the NEXT epoch's donated call reuses the
+    # Backpressure: each in-flight save pins a device-side snapshot
+    # (~256 MiB at flagship scale) plus its host copy until the orbax
+    # write lands. Bound in-flight saves to 2 (same policy as
+    # log_latents_async) by joining the oldest worker BEFORE taking the
+    # next snapshot, so slow disks throttle the training loop instead of
+    # accumulating snapshots without bound (HBM/host OOM).
+    _save_threads[:] = [t for t in _save_threads if t.is_alive()]
+    while len(_save_threads) >= 2:
+        _save_threads.pop(0).join()
+
+    # Device-side snapshot: the NEXT epoch's donated call reuses the
     # live state buffers, so the worker must never read them. One jitted
     # tree-copy program (compiled once per structure) gives fresh buffers
     # the donation cannot touch; the d2h DMA then streams from the
@@ -149,7 +159,6 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
             logging.exception(f"async checkpoint save to {path} failed")
             _save_errors.append(e)
 
-    _save_threads[:] = [t for t in _save_threads if t.is_alive()]
     t = threading.Thread(target=work, daemon=True)
     t.start()
     _save_threads.append(t)
@@ -210,10 +219,13 @@ def load_latest_checkpoint(state: TrainState, ckpt_dir: str
     except Exception:
         # Most likely the other optimizer layout on disk: retry with the
         # alternate template and convert the Adam moments onto `state`'s
-        # layout. Log the original failure so a genuinely corrupt
-        # checkpoint is not masked by a confusing second error.
-        logging.info("primary checkpoint restore failed; retrying with "
-                     "the alternate optimizer layout", exc_info=True)
+        # layout. Log the original failure AT WARNING so a genuinely
+        # corrupt checkpoint is not masked by a confusing second
+        # layout-mismatch error at default log levels.
+        logging.warning("primary checkpoint restore failed (retrying with "
+                        "the alternate optimizer layout; if the retry also "
+                        "fails, THIS first error is the real cause)",
+                        exc_info=True)
         d = state._asdict()
         alt = dict(d)
         for grp, sub in (("opt_main", "main"), ("opt_adv", "adv"),

@@ -183,7 +183,8 @@ int64_t tokenize_corpus(const char* text, const int64_t* offs, int32_t n,
 // contract (reference run.py:166-194) writes ~290 MB/epoch of these at
 // flagship scale; formatting here runs without the GIL so the background
 // metadata thread no longer steals the training thread's core.
-// Returns bytes written, or -1 if the file cannot be opened.
+// Returns bytes written, or -1 on open OR write failure (ENOSPC etc. --
+// a truncated latents CSV must not look like a successful write).
 int64_t write_csv_f32(const char* path, const float* data,
                       int64_t rows, int64_t cols) {
     FILE* f = std::fopen(path, "w");
@@ -204,8 +205,11 @@ int64_t write_csv_f32(const char* path, const float* data,
         std::fputc('\n', f);
         ++total;
     }
-    std::fclose(f);
-    return total;
+    // buffered writes can fail long after the fwrite call (full-buffer
+    // flush, or the final flush inside fclose); check both channels
+    int bad = std::ferror(f);
+    if (std::fclose(f) != 0) bad = 1;
+    return bad ? -1 : total;
 }
 
 }  // extern "C"

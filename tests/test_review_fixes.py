@@ -95,3 +95,72 @@ def test_club_sample_never_touches_padded_rows():
                                        jax.random.PRNGKey(3))
     g = jax.grad(loss)(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_async_save_backpressure_bounded(tmp_path, monkeypatch):
+    """ADVICE r2 #1: with a slow disk, at most 2 async checkpoint saves may
+    be in flight -- the third save_checkpoint call must join the oldest
+    worker before snapshotting, not accumulate snapshots without bound."""
+    import threading
+    import time
+    from dvae_tpu.training import checkpoint as C
+
+    saved = []
+
+    class SlowCkptr:
+        def wait_until_finished(self):
+            pass
+
+        def save(self, path, host, force=True):
+            time.sleep(0.25)
+            os.makedirs(path, exist_ok=True)
+            saved.append(path)
+
+    monkeypatch.setattr(C, "_get_async_checkpointer", lambda: SlowCkptr())
+
+    class FakeState:
+        def _asdict(self):
+            return {"x": jnp.ones((4,))}
+
+    max_seen = 0
+    for ep in range(5):
+        C.save_checkpoint(FakeState(), str(tmp_path), ep, use_async=True)
+        max_seen = max(max_seen, len(C._save_threads))
+    assert max_seen <= 2, max_seen
+    for t in list(C._save_threads):
+        t.join()
+    C._save_threads.clear()
+    assert len(saved) == 5
+    assert not C._save_errors
+
+
+def test_cdf_sampler_never_selects_zero_probability_index(monkeypatch):
+    """ADVICE r2 #3: uniform draws of exactly 0.0 must not select index 0
+    when p[0] == 0 (the inverse-CDF right-edge bug)."""
+    from dvae_tpu.ops import fused_ce
+
+    monkeypatch.setattr(
+        fused_ce.jax.random, "uniform",
+        lambda key, shape, **kw: jnp.zeros(shape))
+    B, H, V = 4, 8, 16
+    h = jnp.ones((B, H))
+    w = np.random.RandomState(0).randn(V, H).astype(np.float32)
+    w[0] = -1e9  # index 0 gets ~zero probability
+    b = np.zeros(V, np.float32)
+    b[0] = -1e9
+    _, sampled = fused_ce.out_proj_ce_sample(
+        h, jnp.asarray(w), jnp.asarray(b),
+        jnp.zeros(B, jnp.int32), jax.random.PRNGKey(0), "float32", "cdf")
+    assert (np.asarray(sampled) != 0).all(), np.asarray(sampled)
+
+
+def test_native_csv_write_failure_surfaces():
+    """ADVICE r2 #2: a failed WRITE (not just a failed open) must raise,
+    not return a positive byte count. /dev/full makes every flush fail
+    with ENOSPC."""
+    from dvae_tpu.data import native
+
+    if not native.csv_available() or not os.path.exists("/dev/full"):
+        pytest.skip("native csv writer or /dev/full unavailable")
+    with pytest.raises(OSError):
+        native.write_csv_f32("/dev/full", np.ones((64, 64), np.float32))
