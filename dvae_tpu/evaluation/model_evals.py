@@ -496,20 +496,29 @@ def gpt2_ppl(sentences: List[str], stride: int = 512,
 
 
 def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
-                verbose: bool = False, ngram_order: int = 2) -> None:
+                verbose: bool = False, ngram_order: int = 2,
+                fallback: str = "kn3") -> None:
     """Originals-vs-reconstructions perplexity (reference
     compute_ppl.py:109-204). GPT-2 availability is probed UP FRONT (no
-    network); when the weights are absent the documented fallback -- an
-    n-gram LM trained on the train-split originals (the reference's own
-    ngram_ppl helper model) -- scores both sides instead, so the run always
-    produces a PPL(orig) vs PPL(recon) table. Reconstructions are saved to
-    `logfile` and the numeric results to `logfile`.ppl.json either way."""
-    from dvae_tpu.evaluation.ppl import (gpt2_available, ngram_ppl_report)
+    network); when the weights are absent a fallback LM trained on the
+    train-split originals scores both sides instead, so the run always
+    produces a PPL(orig) vs PPL(recon) table:
+      - fallback="kn3" (default): interpolated Kneser-Ney trigram --
+        meaningful held-out probabilities (evaluation/ppl.KneserNeyLM);
+      - fallback="floor": the reference's own floor-bigram helper model
+        (ngram_ppl.py semantics; held-out numbers are floor-dominated,
+        kept for parity).
+    Reconstructions are saved to `logfile` and the numeric results to
+    `logfile`.ppl.json either way."""
+    from dvae_tpu.evaluation.ppl import (gpt2_available, kn_ppl_report,
+                                         ngram_ppl_report)
 
     use_gpt2 = gpt2_available()
     if not use_gpt2:
-        print("WARNING: local GPT-2 weights not found; falling back to the "
-              f"{ngram_order}-gram LM perplexity (trained on train-split "
+        desc = ("Kneser-Ney trigram" if fallback == "kn3"
+                else f"floor {ngram_order}-gram")
+        print(f"WARNING: local GPT-2 weights not found; falling back to "
+              f"the {desc} LM perplexity (trained on train-split "
               "originals).")
 
     # (id, sentence) in file order; reconstructions paired by id
@@ -528,7 +537,8 @@ def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
                        if uid in recon_by_id[name]]
 
     results: Dict[str, Dict] = {"estimator": "gpt2" if use_gpt2
-                                else f"{ngram_order}-gram"}
+                                else ("kn3" if fallback == "kn3"
+                                      else f"{ngram_order}-gram")}
     if use_gpt2:
         for name, ps in pairs.items():
             ppl = gpt2_ppl([p[0] for p in ps])
@@ -538,9 +548,10 @@ def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
             results[name] = {"original_ppl": ppl,
                              "reconstruction_ppl": rppl}
     else:
-        report = ngram_ppl_report(
-            [sent for _, sent in data.get("train", [])], pairs,
-            n=ngram_order)
+        train_sents = [sent for _, sent in data.get("train", [])]
+        report = (kn_ppl_report(train_sents, pairs)
+                  if fallback == "kn3"
+                  else ngram_ppl_report(train_sents, pairs, n=ngram_order))
         for name, row in report.items():
             print(f"{name}: {row['original_ppl']:.4f} "
                   f"(UNK={row['original_unk']})")
@@ -556,3 +567,35 @@ def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
                 f.write("\n")
     with open(logfile + ".ppl.json", "w") as f:
         json.dump(results, f, indent=2)
+
+
+def rescore_ppl(data_dir: str, logfile: str, ngram_order: int = 2,
+                fallback: str = "kn3") -> Dict[str, Dict]:
+    """Re-score a SAVED originals-vs-reconstructions log (the jsonl that
+    compute_ppl writes) under a different fallback estimator, without
+    loading the model or touching the accelerator. Train-split originals
+    for LM fitting come from `data_dir`/train.jsonl. Writes
+    `logfile`.ppl.json (same contract as compute_ppl) and returns the
+    results dict."""
+    from dvae_tpu.evaluation.ppl import kn_ppl_report, ngram_ppl_report
+
+    pairs: Dict[str, List] = {}
+    for line in open(logfile):
+        row = json.loads(line)
+        pairs.setdefault(row["dataset"], []).append(
+            (row["sentence"], row["reconstruction"]))
+    train_path = os.path.join(data_dir, "train.jsonl")
+    train_sents = [json.loads(line)["sentence"] for line in open(train_path)]
+    report = (kn_ppl_report(train_sents, pairs) if fallback == "kn3"
+              else ngram_ppl_report(train_sents, pairs, n=ngram_order))
+    results: Dict[str, Dict] = {
+        "estimator": "kn3" if fallback == "kn3" else f"{ngram_order}-gram"}
+    for name, row in report.items():
+        print(f"{name}: {row['original_ppl']:.4f} "
+              f"(UNK={row['original_unk']})")
+        print(f"    recon: {row['reconstruction_ppl']:.4f} "
+              f"(UNK={row['reconstruction_unk']})")
+        results[name] = row
+    with open(logfile + ".ppl.json", "w") as f:
+        json.dump(results, f, indent=2)
+    return results

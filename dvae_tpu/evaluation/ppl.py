@@ -5,15 +5,20 @@ Two estimators:
     scripts/evaluation/compute_ppl.py:70-95), which needs the HF gpt2
     weights available locally; `gpt2_available()` probes for them without
     any network access so callers can fail fast on zero-egress hosts.
-  - An n-gram LM fallback (same model as the reference's
-    scripts/helpers/ngram_ppl.py: raw count probabilities with a 1e-8
-    floor), trained on the corpus's train-split originals and applied to
-    originals and reconstructions alike, so the orig-vs-recon comparison
-    the north star needs is still produced when GPT-2 weights are absent.
+  - An interpolated Kneser-Ney trigram LM (the default fallback since
+    round 3): proper held-out probabilities -- every token gets mass via
+    discount-weighted backoff down to a uniform base, so held-out PPL
+    measures fluency instead of being dominated by an arbitrary floor.
+  - The reference-faithful floor-bigram (raw count probabilities with a
+    1e-8 floor, scripts/helpers/ngram_ppl.py:17-55), kept verbatim behind
+    the ngram_ppl.py helper CLI for parity. Its held-out numbers are
+    floor-dominated (VERDICT r2 weak #1) -- use the KN LM for any
+    orig-vs-recon claim.
 """
 
 from __future__ import annotations
 
+import math
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence, Tuple
 
@@ -92,6 +97,137 @@ def ngram_ppl(model: Dict, vocab: set, sentences: Sequence[List[str]],
             logps.append(np.log(p))
     ppl = float(np.exp(-np.mean(logps))) if logps else float("inf")
     return ppl, n_unk
+
+
+class KneserNeyLM:
+    """Interpolated Kneser-Ney trigram LM with a fixed absolute discount.
+
+    Standard formulation (Chen & Goodman 1999):
+      P3(w|u,v) = max(c(uvw)-D,0)/c(uv.) + D*N1+(uv.)/c(uv.) * P2(w|v)
+      P2(w|v)   = max(N1+(.vw)-D,0)/N1+(.v.) + D*N1+(v.)/N1+(.v.) * P1(w)
+      P1(w)     = max(N1+(.w)-D,0)/N1+(..) + D*T/N1+(..) * 1/(V+1)
+    where N1+ are continuation-type counts and the unigram level
+    interpolates with a uniform base over V train types + <UNK>, so every
+    token (including OOV mapped to <UNK>) has strictly positive
+    probability. Unseen contexts back off to the lower order directly.
+
+    This replaces the reference's floor-bigram as the GPT-2-unavailable
+    fallback for the orig-vs-recon PPL comparison (reference
+    scripts/evaluation/compute_ppl.py:70-95 is the role being filled;
+    scripts/helpers/ngram_ppl.py:31-55 is the floor model kept for CLI
+    parity).
+    """
+
+    UNK = "<UNK>"
+
+    def __init__(self, sentences: Sequence[List[str]],
+                 discount: float = 0.75):
+        assert 0.0 < discount < 1.0
+        self.D = discount
+        self.vocab = set()
+        for sent in sentences:
+            self.vocab.update(sent)
+        # highest order: raw trigram counts over (<s>-padded) sentences
+        self.tri: Dict[Tuple[str, str], Counter] = defaultdict(Counter)
+        # continuation tables
+        bigram_types = set()    # distinct (v, w)
+        trigram_types = set()   # distinct (u, v, w)
+        for sent in sentences:
+            if len(sent) < 2:
+                continue
+            padded = [sent[0]] + sent  # double the leading <s> for (u, v)
+            for i in range(2, len(padded)):
+                u, v, w = padded[i - 2], padded[i - 1], padded[i]
+                self.tri[(u, v)][w] += 1
+                trigram_types.add((u, v, w))
+                bigram_types.add((v, w))
+        self.tri_total = {ctx: sum(c.values()) for ctx, c in
+                          self.tri.items()}
+        self.tri_types = {ctx: len(c) for ctx, c in self.tri.items()}
+        # N1+(.vw): distinct u preceding (v, w); N1+(.v.): their sum per v;
+        # N1+(v.): distinct w with some u (types following v at the
+        # continuation level)
+        self.cont_bi: Dict[str, Counter] = defaultdict(Counter)
+        for (u, v, w) in trigram_types:
+            self.cont_bi[v][w] += 1
+        self.cont_bi_total = {v: sum(c.values()) for v, c in
+                              self.cont_bi.items()}
+        # N1+(.w): distinct v preceding w; N1+(..): distinct bigram types
+        self.cont_uni = Counter()
+        for (v, w) in bigram_types:
+            self.cont_uni[w] += 1
+        self.cont_uni_total = len(bigram_types)
+        self.uni_types = len(self.cont_uni)
+        self.p0 = 1.0 / (len(self.vocab) + 1)  # uniform incl. <UNK>
+
+    def _p1(self, w: str) -> float:
+        n = self.cont_uni_total
+        if n == 0:
+            return self.p0
+        cont = self.cont_uni.get(w, 0)
+        return (max(cont - self.D, 0.0)
+                + self.D * self.uni_types * self.p0) / n
+
+    def _p2(self, v: str, w: str) -> float:
+        n = self.cont_bi_total.get(v, 0)
+        if n == 0:
+            return self._p1(w)
+        counts = self.cont_bi[v]
+        lam = self.D * len(counts) / n
+        return max(counts.get(w, 0) - self.D, 0.0) / n + lam * self._p1(w)
+
+    def prob(self, u: str, v: str, w: str) -> float:
+        ctx = (u, v)
+        n = self.tri_total.get(ctx, 0)
+        if n == 0:
+            return self._p2(v, w)
+        counts = self.tri[ctx]
+        lam = self.D * self.tri_types[ctx] / n
+        return max(counts.get(w, 0) - self.D, 0.0) / n + lam * self._p2(v,
+                                                                        w)
+
+    def map_unk(self, sent: List[str]) -> List[str]:
+        return [t if t in self.vocab else self.UNK for t in sent]
+
+    def ppl(self, sentences: Sequence[List[str]]) -> Tuple[float, int]:
+        """Perplexity over all predicted positions (each token after the
+        first, with the leading <s> doubled for the trigram context).
+        Returns (ppl, n_unk)."""
+        logps = []
+        n_unk = 0
+        for sent in sentences:
+            if len(sent) < 2:
+                continue
+            sent = self.map_unk(sent)
+            n_unk += sum(1 for t in sent if t == self.UNK)
+            padded = [sent[0]] + sent
+            for i in range(2, len(padded)):
+                logps.append(math.log(
+                    self.prob(padded[i - 2], padded[i - 1], padded[i])))
+        if not logps:
+            return float("inf"), n_unk
+        return float(np.exp(-np.mean(logps))), n_unk
+
+
+def kn_ppl_report(train_originals: List[str],
+                  split_pairs: Dict[str, List[Tuple[str, str]]],
+                  discount: float = 0.75) -> Dict[str, Dict[str, float]]:
+    """Train a Kneser-Ney trigram LM on the train-split original sentences
+    and score each split's originals and reconstructions under it. Same
+    return shape as ngram_ppl_report."""
+    from dvae_tpu.data import preprocess_sentences
+
+    def tok(sents):
+        return preprocess_sentences(list(sents), "<s>", "</s>")
+
+    lm = KneserNeyLM(tok(train_originals), discount=discount)
+    report: Dict[str, Dict[str, float]] = {}
+    for split, pairs in split_pairs.items():
+        opp, ounk = lm.ppl(tok(p[0] for p in pairs))
+        rpp, runk = lm.ppl(tok(p[1] for p in pairs))
+        report[split] = {"original_ppl": opp, "reconstruction_ppl": rpp,
+                         "original_unk": ounk, "reconstruction_unk": runk}
+    return report
 
 
 def ngram_ppl_report(train_originals: List[str],

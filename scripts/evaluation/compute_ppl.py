@@ -21,12 +21,26 @@ def parse_args():
     parser.add_argument("-N", type=int, default=-1)
     parser.add_argument("--verbose", action="store_true", default=False)
     parser.add_argument("--ngram_order", type=int, default=2,
-                        help="n-gram order for the no-GPT-2 fallback LM")
+                        help="n-gram order for the --fallback floor LM")
+    parser.add_argument("--fallback", type=str, default="kn3",
+                        choices=["kn3", "floor"],
+                        help="no-GPT-2 estimator: Kneser-Ney trigram "
+                             "(default) or the reference's floor n-gram")
+    parser.add_argument("--rescore", action="store_true", default=False,
+                        help="re-score the SAVED reconstructions in "
+                             "`logfile` under --fallback without loading "
+                             "the model (no accelerator needed)")
     return parser.parse_args()
 
 
 if __name__ == "__main__":
     args = parse_args()
-    from dvae_tpu.evaluation.model_evals import compute_ppl
-    compute_ppl(args.params_json, args.data_dir, args.logfile, N=args.N,
-                verbose=args.verbose, ngram_order=args.ngram_order)
+    if args.rescore:
+        from dvae_tpu.evaluation.model_evals import rescore_ppl
+        rescore_ppl(args.data_dir, args.logfile,
+                    ngram_order=args.ngram_order, fallback=args.fallback)
+    else:
+        from dvae_tpu.evaluation.model_evals import compute_ppl
+        compute_ppl(args.params_json, args.data_dir, args.logfile,
+                    N=args.N, verbose=args.verbose,
+                    ngram_order=args.ngram_order, fallback=args.fallback)
