@@ -88,6 +88,13 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # binary (1-dim) heads. Default: no reweighting (reference behavior,
     # losses.py:180-196).
     "dsc_pos_weights": (dict, {}),
+    # Scale on the discriminator supervision term in the main objective.
+    # 0.0 reproduces the reference's vae_elbo protocol, which requires
+    # MANUALLY editing run.py to set L['total_dsc_loss'] = 0
+    # (reproduction_configs/sfu_amazon_100k/vae_elbo.json note in the
+    # reference repo); here it is a config key so the ELBO baseline runs
+    # unmodified. Default 1.0 (reference behavior for every other config).
+    "dsc_loss_weight": (float, 1.0),
     # Log a per-phase wall-clock breakdown of each fused train epoch
     # (collate / upload / compute+fetch / bleu / scalar log / metadata CSV).
     "log_epoch_phases": (bool, False),
@@ -153,6 +160,21 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # jax.profiler trace of the first few training steps; "" disables.
     "profile_dir": (str, ""),
     "profile_steps": (int, 5),
+    # Persistent XLA compilation cache directory. "auto" ->
+    # ~/.cache/dvae_tpu/xla_cache, "" disables. Converts the minutes-long
+    # per-process XLA compiles (9+ min flagship first epoch, ~10 min
+    # streaming Pallas CE) into a one-time cost; warm starts deserialize
+    # in seconds (utils/compile_cache.py, benchmarks/RESULTS.md round 3).
+    "compilation_cache_dir": (str, "auto"),
+    # JAX PRNG implementation: "threefry" (default -- deterministic
+    # across platforms, the impl every committed study ran under) or
+    # "rbg" (TPU hardware-friendly generator: distribution-equal but
+    # bit-different draws; measured -22% device step time at flagship
+    # scale because the decode sampler's per-logit threefry bits dominate
+    # the gumbel argmax -- RESULTS.md round-3 census). Checkpoints are
+    # NOT portable across impls (key shapes differ): finish a run with
+    # the impl it started with.
+    "prng_impl": (str, "threefry"),
 }
 
 
@@ -184,6 +206,11 @@ def validate_params(params: Dict[str, Any]) -> None:
         if key not in REQUIRED_SCHEMA and key not in OPTIONAL_SCHEMA:
             warnings.warn(
                 f"Ignoring unused parameter '{key}' in parameter file.")
+
+    impl = params.get("prng_impl", "threefry")
+    if impl not in ("threefry", "rbg"):
+        raise ValueError(
+            f"prng_impl must be 'threefry' or 'rbg', got '{impl}'")
 
     lat = params["latent_dims"]
     if "total" not in lat:
@@ -249,13 +276,21 @@ class ModelConfig:
     compute_dtype: str = "float32"
     max_length: int = 32
     adv_grad_mode: str = "reference"  # see OPTIONAL_SCHEMA["adv_grad_mode"]
-    # LSTM recurrence backend: "scan" (lax.scan), "pallas" (fused kernel),
-    # or "auto" (pallas on TPU when the shape fits VMEM, else scan).
+    # LSTM recurrence backend: "scan" (lax.scan), "pallas" (fused kernel,
+    # DEPRECATED), or "auto" (resolves to scan under bf16 -- the fastest
+    # measured combination; pallas only for f32-on-TPU when it fits VMEM).
+    # Round-3 verdict on the pallas kernel: after bf16-izing its resident
+    # recurrent weight (ops/pallas_lstm.py), every pallas combination
+    # still loses the honest flagship A/B to scan+bf16 (8.9 vs 6.5-7.2
+    # ms/step, benchmarks/RESULTS.md round 3), so the backend is kept only
+    # for f32 parity runs and as kernel infrastructure.
     lstm_backend: str = "auto"
     mi_estimator: str = "club"  # "club" | "club_sample"
     # ((label_name, pos_weight), ...) for BCE heads; see OPTIONAL_SCHEMA
     # ["dsc_pos_weights"]. Tuple-of-pairs keeps the dataclass hashable.
     pos_weights: Tuple[Tuple[str, float], ...] = ()
+    # see OPTIONAL_SCHEMA["dsc_loss_weight"]; 0.0 = the vae_elbo baseline
+    dsc_loss_weight: float = 1.0
     # Fuse the decoder's vocab projection + CE + sampling into a custom-VJP
     # op that never materializes/saves [B, T, V] logits (ops/fused_ce.py).
     # Identical math and (same key) identical samples to the logits path.
@@ -434,5 +469,6 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         decode_unroll=params.get("decode_unroll", 1),
         deterministic_eval_z=params.get("deterministic_eval_z", False),
         pos_weights=tuple(sorted((k, float(v)) for k, v in pw.items())),
+        dsc_loss_weight=float(params.get("dsc_loss_weight", 1.0)),
         padded_vocab_size=padded_vocab,
     )

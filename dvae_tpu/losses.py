@@ -202,6 +202,42 @@ def compute_adversarial_losses(cfg: ModelConfig,
             "idv_adv_dsc_accs": idv_dsc_accs}
 
 
+def _mi_pair_groups(cfg: ModelConfig):
+    """Group cfg.mi_pairs by identical (x_dim, y_dim, hidden) so same-shape
+    estimators can run as ONE vmapped program (round 3 small-op attack) --
+    at flagship scale two of the three CLUB pairs share shapes."""
+    groups: Dict[Tuple[int, int, int], list] = {}
+    for a, b in cfg.mi_pairs:
+        sig = (cfg.latent_dim_of(a), cfg.latent_dim_of(b),
+               cfg.mi_hidden_of((a, b)))
+        groups.setdefault(sig, []).append((a, b))
+    return list(groups.values())
+
+
+def _grouped_club(cfg: ModelConfig, mi_params: Dict, fn, xs_of, ys_of,
+                  example_mask) -> Dict[str, jnp.ndarray]:
+    """Apply a per-estimator scalar fn(params, x, y, mask) to every MI
+    pair, vmapping same-shape groups. Identical per-pair values; fewer
+    dispatched ops."""
+    out = {}
+    for group in _mi_pair_groups(cfg):
+        names = [f"{a}-{b}" for a, b in group]
+        if len(group) == 1:
+            (a, b), = group
+            out[names[0]] = fn(mi_params[names[0]], xs_of(a), ys_of(b),
+                               example_mask)
+            continue
+        stacked = jax.tree.map(lambda *ls: jnp.stack(ls),
+                               *[mi_params[n] for n in names])
+        xg = jnp.stack([xs_of(a) for a, _ in group])
+        yg = jnp.stack([ys_of(b) for _, b in group])
+        vals = jax.vmap(fn, in_axes=(0, 0, 0, None))(stacked, xg, yg,
+                                                     example_mask)
+        for j, n in enumerate(names):
+            out[n] = vals[j]
+    return out
+
+
 def compute_mi_losses(cfg: ModelConfig, mi_params: Dict,
                       latent_params: Dict[str, LatentParams],
                       example_mask: jnp.ndarray, beta, key=None) -> Dict:
@@ -210,20 +246,22 @@ def compute_mi_losses(cfg: ModelConfig, mi_params: Dict,
     pass stop_gradient(mi_params) for the main objective. `key` is
     required for the club_sample estimator's negative permutation."""
     from dvae_tpu.models.club import club_sample_mi_estimate
-    idv = {}
-    total = 0.0
-    for i, (a, b) in enumerate(cfg.mi_pairs):
-        name = f"{a}-{b}"
-        if cfg.mi_estimator == "club_sample":
+    if cfg.mi_estimator == "club_sample":
+        idv = {}
+        for i, (a, b) in enumerate(cfg.mi_pairs):
+            name = f"{a}-{b}"
             k = jax.random.fold_in(key, i)
-            est = club_sample_mi_estimate(
+            idv[name] = club_sample_mi_estimate(
                 mi_params[name], latent_params[a].z, latent_params[b].z,
                 example_mask, k) * beta
-        else:
-            est = club_mi_estimate(mi_params[name], latent_params[a].z,
-                                   latent_params[b].z, example_mask) * beta
-        idv[name] = est
-        total = total + est
+    else:
+        ests = _grouped_club(cfg, mi_params, club_mi_estimate,
+                             lambda a: latent_params[a].z,
+                             lambda b: latent_params[b].z, example_mask)
+        idv = {f"{a}-{b}": ests[f"{a}-{b}"] * beta for a, b in cfg.mi_pairs}
+    total = 0.0
+    for a, b in cfg.mi_pairs:   # reference summation order
+        total = total + idv[f"{a}-{b}"]
     return {"total_mi": total, "idv_mi_estimates": idv}
 
 
@@ -233,9 +271,7 @@ def compute_mi_learning_losses(cfg: ModelConfig, mi_params: Dict,
     """Per-estimator -loglikelihood on detached z (reference run.py:264-276,
     losses.py:69-74). Returned per-name so per-estimator grad clipping can
     mirror the reference's per-CLUB clip(1.0)."""
-    out = {}
-    for a, b in cfg.mi_pairs:
-        name = f"{a}-{b}"
-        out[name] = -club_loglikeli(mi_params[name], zs_detached[a],
-                                    zs_detached[b], example_mask)
-    return out
+    lls = _grouped_club(cfg, mi_params, club_loglikeli,
+                        lambda a: zs_detached[a],
+                        lambda b: zs_detached[b], example_mask)
+    return {f"{a}-{b}": -lls[f"{a}-{b}"] for a, b in cfg.mi_pairs}

@@ -153,10 +153,15 @@ def _all_losses(cfg: ModelConfig, params: Dict, constants: Dict, batch: Dict,
 
     dsc = L.compute_discriminator_losses(cfg, out["dsc_logits"],
                                          batch["labels"], mask)
-    metrics.update({k: dsc[k] for k in
-                    ("total_dsc_loss", "idv_dsc_losses", "idv_dsc_accs")})
+    # dsc_loss_weight=0.0 reproduces the reference's vae_elbo manual edit
+    # (L['total_dsc_loss'] = 0 in compute_all_losses): the logged total AND
+    # the objective contribution are zeroed, per-head metrics still logged
+    total_dsc = cfg.dsc_loss_weight * dsc["total_dsc_loss"]
+    metrics.update({"total_dsc_loss": total_dsc,
+                    "idv_dsc_losses": dsc["idv_dsc_losses"],
+                    "idv_dsc_accs": dsc["idv_dsc_accs"]})
 
-    total = recon + kl["total_weighted_kl"] + dsc["total_dsc_loss"]
+    total = recon + kl["total_weighted_kl"] + total_dsc
 
     if cfg.adversarial_loss:
         zs_det = {n: jax.lax.stop_gradient(lp[n].z)

@@ -130,3 +130,19 @@ def test_compute_dtype_auto_resolution():
     import pytest
     with pytest.raises(ValueError):
         _resolve_compute_dtype("fp8", "scan")
+
+
+def test_prng_impl_validation():
+    """prng_impl: 'threefry' (default) and 'rbg' accepted; anything else
+    is a named ValueError (validate_params)."""
+    import copy
+    from dvae_tpu.config import validate_params
+    params = copy.deepcopy(VALID)
+    validate_params(params)            # default (absent) ok
+    params["prng_impl"] = "rbg"
+    validate_params(params)
+    params["prng_impl"] = "threefry"
+    validate_params(params)
+    params["prng_impl"] = "philox"
+    with pytest.raises(ValueError, match="prng_impl"):
+        validate_params(params)

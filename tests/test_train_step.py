@@ -282,3 +282,23 @@ def test_step_bleu_counts_match_host_bleu():
     want = compute_bleu(np.asarray(batch["X"]), np.asarray(preds),
                         idx2word, cfg.eos_idx)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_dsc_loss_weight_zero_is_elbo_baseline():
+    """dsc_loss_weight=0.0 (the vae_elbo variant) must zero the logged
+    total_dsc_loss AND stop discriminator-head gradients, while per-head
+    metrics stay visible (reference vae_elbo note: manually set
+    L['total_dsc_loss'] = 0 in compute_all_losses)."""
+    cfg = make_cfg(dsc_loss_weight=0.0, adversarial_loss=False,
+                   mi_loss=False, adv_pairs=(), mi_pairs=())
+    state, constants, step = setup(cfg)
+    batch = make_batch(cfg)
+    klw = jnp.asarray(kl_weight_vector(cfg, {"default": 0.01}, 1.0))
+    dsc_before = jax.tree.map(np.asarray, state.params["main"]["dsc"])
+    new_state, metrics, _, _ = step(state, batch, klw, jnp.asarray(0.5),
+                                    jnp.asarray(0.01))
+    assert float(metrics["total_dsc_loss"]) == 0.0
+    assert float(metrics["idv_dsc_losses"]["polarity"]) > 0.0  # still logged
+    for a, b in zip(jax.tree.leaves(dsc_before),
+                    jax.tree.leaves(new_state.params["main"]["dsc"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
