@@ -26,6 +26,14 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from dvae_tpu.utils import enable_compilation_cache
+    enable_compilation_cache("auto")
+    # TPU hardware RNG: distribution-equal draws, -22% device step time vs
+    # threefry (the decode sampler's per-logit random bits are the single
+    # largest op at flagship scale -- benchmarks/RESULTS.md round 3).
+    # Production knob: config "prng_impl"; studies default to threefry.
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     import __graft_entry__ as ge
     from dvae_tpu.models import init_vae_params
     from dvae_tpu.training import (create_train_state, kl_weight_vector,
@@ -79,6 +87,25 @@ def main():
     n_chips = jax.device_count()
     tokens_per_sec_per_chip = tokens_per_batch / sec_per_step / n_chips
 
+    # MFU: analytic model FLOPs from the config (utils/flops.py) against
+    # the device's dense peak; XLA's own executable flop count is carried
+    # as a cross-check (it sees the compiled program, incl. rematerialized
+    # backward matmuls).
+    from dvae_tpu.utils.flops import mfu as compute_mfu, train_step_flops
+    device_kind = jax.devices()[0].device_kind
+    eff = compute_mfu(cfg, B, cfg.max_length, sec_per_step, device_kind)
+    xla_flops = None
+    try:
+        lowered = jax.jit(
+            make_train_step(cfg, constants, 3e-4), donate_argnums=(0,)
+        ).lower(state, batch, klw, tf, miw)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        pass
+
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "BASELINE_MEASURED.json")
@@ -99,6 +126,16 @@ def main():
             "tokens_per_batch": tokens_per_batch,
             "device": str(jax.devices()[0]),
             "n_chips": n_chips,
+            "prng_impl": "rbg",
+            "flops_per_step": eff["flops_per_step"],
+            "achieved_tflops": round(eff["achieved_tflops"], 2),
+            "peak_tflops": eff["peak_tflops"] or None,
+            "mfu": (round(eff["mfu"], 4)
+                    if eff["mfu"] == eff["mfu"] else None),
+            "flops_breakdown": {k: int(v) for k, v in
+                                train_step_flops(cfg, B,
+                                                 cfg.max_length).items()},
+            "xla_executable_flops": xla_flops,
             "config": "sfu_amazon_100k scale (V=20k, H=256, 2-layer biLSTM,"
                       " adv+mi on, full fused train step)",
             "baseline_caveat": "denominator is the reference's measured "

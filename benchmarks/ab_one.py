@@ -8,6 +8,11 @@ from dvae_tpu.training import create_train_state, kl_weight_vector, make_train_s
 variant = sys.argv[1]
 # default matches the production default (flat_optimizer off)
 flat = "--flat" in sys.argv
+if "--cache" in sys.argv:
+    # warm-start via the persistent compilation cache (round 3); leave OFF
+    # when measuring cold-compile costs
+    from dvae_tpu.utils import enable_compilation_cache
+    enable_compilation_cache("auto")
 if "--rbg" in sys.argv:
     # TPU hardware RNG instead of threefry: distribution-equal draws,
     # bit-different streams; measures the threefry share of sampling cost

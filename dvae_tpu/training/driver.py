@@ -58,7 +58,8 @@ from dvae_tpu.training.step import (create_train_state, kl_weight_vector,
                                     make_eval_epoch, make_eval_step,
                                     make_train_epoch, make_train_step)
 from dvae_tpu.ops.device_bleu import bleu_from_counts
-from dvae_tpu.utils import set_seed, tensor2text
+from dvae_tpu.utils import (enable_compilation_cache, set_seed,
+                            tensor2text)
 from dvae_tpu.losses import get_cyclic_kl_weight
 
 # Single worker so prefetched epochs keep their order (the sampler RNG
@@ -74,6 +75,16 @@ class Experiment:
 
     def __init__(self, params: Dict, require_vocab_file: bool = False):
         self.params = params
+        # before any jit: every session built from a config (driver, REPL,
+        # eval scripts) shares the persistent XLA compilation cache
+        enable_compilation_cache(
+            params.get("compilation_cache_dir", "auto"))
+        # before any key creation: "rbg" uses the TPU hardware RNG
+        # (distribution-equal, bit-different draws; measured -22% device
+        # step time at flagship scale -- the decode sampler's per-logit
+        # threefry bits were the single largest op, RESULTS.md round 3)
+        if params.get("prng_impl", "threefry") == "rbg":
+            jax.config.update("jax_default_prng_impl", "rbg")
         set_seed(params["random_seed"])
         import random as _random
         self._shuffle_rng = _random.Random(params["random_seed"])

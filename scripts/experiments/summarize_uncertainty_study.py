@@ -33,6 +33,9 @@ MODELS = [
     ("bf16-posw10", 10, "bf16_uposw_s10"),
     ("bf16-posw10", 20, "bf16_uposw_s20"),
     ("bf16-posw10", 30, "bf16_uposw_s30"),
+    # round-3 widening to >=5 bf16 seeds (VERDICT r2 next #7)
+    ("bf16-posw10", 40, "bf16_uposw_s40"),
+    ("bf16-posw10", 50, "bf16_uposw_s50"),
 ]
 
 

@@ -66,3 +66,33 @@ def test_full_length_no_mask_effects(setup):
     outs, _ = lstm_scan_pallas(p, xs, lengths, interpret=True)
     np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_path_parity(setup):
+    """Round-3 bf16 kernel path: bf16 MXU tiles + f32 accumulation must
+    track the f32 scan within bf16 rounding, for values AND gradients."""
+    p, xs, lengths = setup
+    outs_ref, (hf_ref, cf_ref) = lstm_scan(p, xs, lengths)
+    outs, (hf, cf) = lstm_scan_pallas(p, xs, lengths,
+                                      compute_dtype="bfloat16",
+                                      interpret=True)
+    assert outs.dtype == jnp.float32  # carries/outputs stay f32
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_ref),
+                               rtol=0.05, atol=0.05)
+
+    def loss_pl(p, xs):
+        o, (h, c) = lstm_scan_pallas(p, xs, lengths,
+                                     compute_dtype="bfloat16",
+                                     interpret=True)
+        return (o ** 2).sum() + (h * c).sum()
+
+    def loss_ref(p, xs):
+        o, (h, c) = lstm_scan(p, xs, lengths)
+        return (o ** 2).sum() + (h * c).sum()
+
+    g_ref = jax.tree.leaves(jax.grad(loss_ref, argnums=(0, 1))(p, xs))
+    g_pl = jax.tree.leaves(jax.grad(loss_pl, argnums=(0, 1))(p, xs))
+    for a, b in zip(g_ref, g_pl):
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32),
+                                   rtol=0.1, atol=0.1)
