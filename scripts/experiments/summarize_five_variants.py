@@ -1,0 +1,74 @@
+"""Summarize the 5-variant flagship reproduction sweep (the paper's
+central experiment -- reference README.md:61-113): per-variant dev MIG
+mean +/- std per label, the Figure-5-style comparison boxplot via
+plot_migs, and a JSON table. Run after scripts/experiments/
+round3_five_variants.sh (or /tmp/run_sweep.sh) has produced
+logs/combined/sfu_amazon_100k/<variant>/evaluation/MIGS_dev.jsonl.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..")))
+
+import numpy as np
+
+VARIANTS = ["vae_inf", "vae_elbo", "vae_adv", "vae_mi", "vae_adv+mi"]
+BASE = "logs/combined/sfu_amazon_100k"
+OUTDIR = "evaluation_results/five_variant_study"
+
+
+def main():
+    os.makedirs(OUTDIR, exist_ok=True)
+    files = [f"{BASE}/{v}/evaluation/MIGS_dev.jsonl" for v in VARIANTS]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise SystemExit(f"missing MIG files: {missing}")
+
+    table = {}
+    for v, path in zip(VARIANTS, files):
+        per_label = {}
+        for line in open(path):
+            datum = json.loads(line)
+            for lab, d in datum.items():
+                if lab == "sample_num":
+                    continue
+                e = per_label.setdefault(lab, {"migs": [], "aligned": 0,
+                                               "n": 0})
+                e["migs"].append(d["MIG"])
+                e["n"] += 1
+                # MIG is top-2-gap and does not care WHICH latent is
+                # top; a variant can "win" MIG by collapsing all label
+                # info into content. Track whether the designated latent
+                # actually carries the most MI.
+                if d["sorted_latents"][0] == lab:
+                    e["aligned"] += 1
+        table[v] = {lab: {"mig_mean": float(np.mean(e["migs"])),
+                          "mig_std": float(np.std(e["migs"])),
+                          "aligned_top_frac": e["aligned"] / e["n"],
+                          "n": e["n"]}
+                    for lab, e in per_label.items()}
+
+    with open(os.path.join(OUTDIR, "five_variant_migs.json"), "w") as f:
+        json.dump(table, f, indent=2)
+
+    labels = sorted(next(iter(table.values())).keys())
+    print(f"{'variant':12s} " +
+          "  ".join(f"{l + ' (MIG, aligned-top)':>34s}" for l in labels))
+    for v in VARIANTS:
+        row = "  ".join(
+            f"{table[v][l]['mig_mean']:.4f} +/- "
+            f"{table[v][l]['mig_std']:.4f}  "
+            f"{table[v][l]['aligned_top_frac']:.0%}" for l in labels)
+        print(f"{v:12s} {row}")
+
+    from dvae_tpu.evaluation.plots import plot_migs
+    plot_migs(files, os.path.join(OUTDIR, "five_variant_migs.png"),
+              VARIANTS)
+    print(f"wrote {OUTDIR}/five_variant_migs.{{json,png}}")
+
+
+if __name__ == "__main__":
+    main()
