@@ -39,6 +39,9 @@ VARIANTS = {
 
 def capture(variant: str, n_steps: int, trace_dir: str) -> None:
     enable_compilation_cache("auto")
+    if "--rbg" in sys.argv:
+        # TPU hardware RNG (config prng_impl="rbg"); see RESULTS.md round 3
+        jax.config.update("jax_default_prng_impl", "rbg")
     cfg = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2,
                            max_length=17)
     cfg = dataclasses.replace(cfg, **VARIANTS[variant])

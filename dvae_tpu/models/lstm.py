@@ -90,76 +90,6 @@ def lstm_scan(p: Dict[str, jnp.ndarray], xs: jnp.ndarray,
     return jnp.swapaxes(outs, 0, 1), (h_f, c_f)
 
 
-def _bdot(x: jnp.ndarray, w: jnp.ndarray,
-          compute_dtype: str = "float32") -> jnp.ndarray:
-    """Direction-batched torch-layout matmul: x [D, ..., K] @ w [D, O, K]
-    -> [D, ..., O], contracting K with the leading dim batched. bf16
-    inputs / f32 accumulation exactly like `dot`."""
-    if compute_dtype == "bfloat16":
-        x = x.astype(jnp.bfloat16)
-        w = w.astype(jnp.bfloat16)
-    return jax.lax.dot_general(
-        x, w,
-        dimension_numbers=(((x.ndim - 1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-
-
-def lstm_scan_bidir(p_fwd: Dict[str, jnp.ndarray],
-                    p_bwd: Dict[str, jnp.ndarray],
-                    xs: jnp.ndarray, lengths: jnp.ndarray,
-                    compute_dtype: str = "float32"
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Both directions of one bidirectional LSTM layer in ONE lax.scan.
-
-    Two sequential `lstm_scan` calls cost 2*T dependent [B,H]x[H,4H]
-    matmuls on the critical path; the directions are independent, so this
-    stacks them ([2, B, ...] carries, per-step batched [2,B,H]x[2,4H,H]
-    matmul) and halves the sequential chain to T steps -- the encoder
-    recurrence is the dominant device cost at flagship scale
-    (benchmarks/RESULTS.md round-3 census). Per-direction math is the
-    same contraction as `lstm_scan` (batched dot_general applies it
-    unchanged per direction).
-
-    Returns (outs [B, T, 2H] with the backward half re-flipped to input
-    order, h_fwd [B, H], h_bwd [B, H]) -- the states at each row's last
-    valid step, matching torch packed-bidirectional semantics.
-    """
-    B, T, _ = xs.shape
-    H = p_fwd["w_hh"].shape[1]
-    x2 = jnp.stack([xs, flip_within_length(xs, lengths)])   # [2, B, T, E]
-    w_ih2 = jnp.stack([p_fwd["w_ih"], p_bwd["w_ih"]])
-    w_hh2 = jnp.stack([p_fwd["w_hh"], p_bwd["w_hh"]])
-    b2 = jnp.stack([p_fwd["b_ih"] + p_fwd["b_hh"],
-                    p_bwd["b_ih"] + p_bwd["b_hh"]])[:, None, :]  # [2,1,4H]
-    x_proj = _bdot(x2, w_ih2, compute_dtype) + b2[:, None]  # [2, B, T, 4H]
-
-    h0 = jnp.zeros((2, B, H), x_proj.dtype)
-    c0 = jnp.zeros((2, B, H), x_proj.dtype)
-    valid_t = (jnp.arange(T)[:, None] < lengths[None, :])   # [T, B]
-
-    def step(carry, inp):
-        h, c = carry
-        x_proj_t, valid = inp                # [2, B, 4H], [B]
-        gates = x_proj_t + _bdot(h, w_hh2, compute_dtype)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-        v = valid[None, :, None]
-        h = jnp.where(v, h_new, h)
-        c = jnp.where(v, c_new, c)
-        return (h, c), jnp.where(v, h_new, 0.0)
-
-    (h_f, _), outs = jax.lax.scan(
-        step, (h0, c0), (jnp.moveaxis(x_proj, 2, 0), valid_t))
-    outs = jnp.moveaxis(outs, 0, 2)                         # [2, B, T, H]
-    outs_b = flip_within_length(outs[1], lengths)
-    return jnp.concatenate([outs[0], outs_b], axis=-1), h_f[0], h_f[1]
-
-
 def flip_within_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Reverse each row's first `length` positions; padding stays in place.
 

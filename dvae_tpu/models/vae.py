@@ -34,8 +34,7 @@ from dvae_tpu.models.club import init_club_params
 from dvae_tpu.models.layers import (cast_matmul_weights, dot, dropout,
                                     embedding_init, linear, linear_init)
 from dvae_tpu.models.lstm import (flip_within_length, lstm_cell,
-                                  lstm_layer_init, lstm_scan,
-                                  lstm_scan_bidir)
+                                  lstm_layer_init, lstm_scan)
 
 
 class LatentParams(NamedTuple):
@@ -194,13 +193,7 @@ def encode(main: Dict, constants: Dict, cfg: ModelConfig,
     finals = []
     for l in range(cfg.enc_layers):
         lp = main["enc"]["layers"][f"layer_{l}"]
-        if cfg.bidirectional and run_lstm is lstm_scan:
-            # both directions in ONE scan: halves the sequential matmul
-            # chain (lstm.lstm_scan_bidir; round-3 critical-path attack)
-            outs, h_f, h_b = lstm_scan_bidir(lp["fwd"], lp["bwd"], x,
-                                             lengths, cfg.compute_dtype)
-            finals.extend([h_f, h_b])
-        elif cfg.bidirectional:
+        if cfg.bidirectional:
             outs_f, (h_f, _) = run_lstm(lp["fwd"], x, lengths,
                                         cfg.compute_dtype)
             x_rev = flip_within_length(x, lengths)

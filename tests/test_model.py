@@ -320,29 +320,3 @@ def test_decode_unroll_bit_identical():
     np.testing.assert_array_equal(np.asarray(outs[0]["token_predictions"]),
                                   np.asarray(outs[1]["token_predictions"]))
 
-
-def test_lstm_scan_bidir_matches_two_scans():
-    """The direction-fused single-scan biLSTM (round-3 critical-path
-    attack) must reproduce the two-scan path: same outputs (backward half
-    re-flipped) and same final states, in f32 and bf16-compute modes."""
-    from dvae_tpu.models.lstm import lstm_scan_bidir
-    rng = np.random.default_rng(3)
-    B, T, D, H = 5, 7, 6, 8
-    kf, kb = jax.random.split(jax.random.PRNGKey(1))
-    pf = lstm_layer_init(kf, D, H)
-    pb = lstm_layer_init(kb, D, H)
-    xs = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
-    lengths = jnp.asarray(np.array([7, 3, 1, 5, 7], dtype=np.int32))
-
-    for dtype in ("float32", "bfloat16"):
-        outs_f, (h_f, _) = lstm_scan(pf, xs, lengths, dtype)
-        x_rev = flip_within_length(xs, lengths)
-        outs_b, (h_b, _) = lstm_scan(pb, x_rev, lengths, dtype)
-        outs_b = flip_within_length(outs_b, lengths)
-        want = jnp.concatenate([outs_f, outs_b], axis=-1)
-
-        got, gh_f, gh_b = lstm_scan_bidir(pf, pb, xs, lengths, dtype)
-        tol = 1e-6 if dtype == "float32" else 2e-2
-        np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
-        np.testing.assert_allclose(gh_f, h_f, atol=tol, rtol=tol)
-        np.testing.assert_allclose(gh_b, h_b, atol=tol, rtol=tol)
