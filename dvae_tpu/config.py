@@ -149,6 +149,16 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # state copy (~4x model size) can dominate wall-clock on hosts with
     # slow device links.
     "checkpoint_every_n_epochs": (int, 1),
+    # Keep only the newest N checkpoints (0 = keep all, the reference's
+    # behavior -- vae/utils.py never deletes). A 20-epoch flagship run
+    # otherwise retains ~4.7 GB of model_\d dirs of which the evaluation
+    # suite only ever reads the latest.
+    "keep_checkpoints": (int, 0),
+    # Keep only the newest N epochs of latent-metadata CSVs per dataset
+    # (0 = keep all). The evaluation suite reads the latest epoch only
+    # (evaluation/metadata.py get_last_epoch); a 20-epoch flagship run
+    # otherwise retains ~5.8 GB of per-epoch mu/logvar/z logs.
+    "keep_latent_epochs": (int, 0),
     # Fuse each training epoch into ONE device program (lax.scan over the
     # epoch's stacked batches). Per-step host dispatch dominates epoch
     # wall-clock otherwise (~100x the compute at this model scale).

@@ -109,8 +109,27 @@ def _snapshot(tree):
     return jax.tree.map(jnp.copy, tree)
 
 
+def prune_checkpoints(ckpt_dir: str, keep: int,
+                      newest_epoch: int) -> None:
+    """Delete completed model_\\d checkpoints beyond the `keep` newest,
+    NOT counting the in-progress `newest_epoch` -- pruning must never
+    remove the only durable fallback while `newest_epoch` is still being
+    written, so steady state retains keep+1 dirs. keep <= 0 keeps
+    everything (reference behavior). Only fully-written checkpoints match
+    _CKPT_RE -- orbax tmp dirs (model_N.orbax-checkpoint-tmp...) are
+    never touched."""
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
+        return
+    import shutil
+    done = sorted(int(m.group(1)) for f in os.listdir(ckpt_dir)
+                  if (m := _CKPT_RE.match(f)) and int(m.group(1)) < newest_epoch)
+    for e in done[:max(0, len(done) - keep)]:
+        shutil.rmtree(os.path.join(ckpt_dir, f"model_{e}"),
+                      ignore_errors=True)
+
+
 def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
-                    use_async: bool = True) -> str:
+                    use_async: bool = True, keep: int = 0) -> str:
     """Write a checkpoint. Async by default -- including the device->host
     state copy: orbax's AsyncCheckpointer only backgrounds the disk write
     and still BLOCKS on the d2h transfer (~6 s/epoch for the ~256 MiB
@@ -125,6 +144,7 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
     if not use_async:
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, state._asdict(), force=True)
+        prune_checkpoints(ckpt_dir, keep, epoch)
         return path
 
     # Backpressure: each in-flight save pins a device-side snapshot
@@ -154,6 +174,10 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, epoch: int,
                 ckptr = _get_async_checkpointer()
                 # one in-flight orbax save at a time
                 ckptr.wait_until_finished()
+                # every OLDER save is now durable, so pruning beyond the
+                # retention window races with nothing; the tmp dir of the
+                # save kicked off below never matches _CKPT_RE
+                prune_checkpoints(ckpt_dir, keep, epoch)
                 ckptr.save(path, host, force=True)
         except Exception as e:  # surfaced by wait_for_saves()
             logging.exception(f"async checkpoint save to {path} failed")

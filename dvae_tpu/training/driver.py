@@ -303,6 +303,7 @@ def run(params_file: str, verbose: bool = False) -> None:
         jax.config.update("jax_debug_nans", True)
     exp = Experiment(params)
     cfg = exp.cfg
+    keep_latents = max(0, params.get("keep_latent_epochs", 0))
 
     logfile = os.path.join(exp.logdir, "run.log")
     print(f"Logging to {logfile}")
@@ -496,7 +497,7 @@ def run(params_file: str, verbose: bool = False) -> None:
         loss_logger.log_epoch()
         phases.append(("scalar_log", time.time()))
         log_latents_async(latents_seq, masks, ids_all, exp.logdir, "train",
-                          epoch)
+                          epoch, keep_epochs=keep_latents)
         phases.append(("metadata_dispatch", time.time()))
         if params.get("log_epoch_phases"):
             spans = ", ".join(
@@ -564,7 +565,7 @@ def run(params_file: str, verbose: bool = False) -> None:
         _epoch_host_logging(loss_logger, collected, step0)
         loss_logger.log_epoch()
         log_params_async(_gather_latents(latents_steps, masks), ids_all,
-                   exp.logdir, "train", epoch)
+                   exp.logdir, "train", epoch, keep_epochs=keep_latents)
         dt = str(datetime.timedelta(seconds=time.time() - t0))
         logging.info(_summary_line(
             "TRAIN", epoch, loss_logger, cfg.adversarial_loss, cfg.mi_loss,
@@ -602,7 +603,7 @@ def run(params_file: str, verbose: bool = False) -> None:
             loss_logger.update(m)
         loss_logger.log_epoch()
         log_latents_async(latents_seq, masks, ids_all, exp.logdir, name,
-                          epoch)
+                          epoch, keep_epochs=keep_latents)
         logging.info(_summary_line(
             name.upper(), epoch, loss_logger, cfg.adversarial_loss,
             cfg.mi_loss))
@@ -635,7 +636,8 @@ def run(params_file: str, verbose: bool = False) -> None:
                         or epoch == last_epoch:
                     logging.info(
                         f"Saving model checkpoint to {exp.ckpt_dir}")
-                    save_checkpoint(state, exp.ckpt_dir, epoch)
+                    save_checkpoint(state, exp.ckpt_dir, epoch,
+                                    keep=params.get("keep_checkpoints", 0))
                 start_epoch = epoch
             except KeyboardInterrupt:
                 logging.warning(f"Training interrupted at epoch {epoch}!")

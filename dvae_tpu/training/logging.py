@@ -20,6 +20,7 @@ import csv
 import json
 import os
 import queue
+import re
 import threading
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -144,10 +145,13 @@ def _to_scalar(x):
 
 def log_params(latent_logs: Dict[str, Dict[str, List[np.ndarray]]],
                example_ids: Sequence[str], logdir: str, dataset_name: str,
-               epoch: int) -> None:
+               epoch: int, keep_epochs: int = 0) -> None:
     """Write the latent-parameter metadata files consumed by the evaluation
     suite (reference run.py:166-194). latent_logs maps
-    {latent_name: {param_name: [per-example rows]}}."""
+    {latent_name: {param_name: [per-example rows]}}. keep_epochs > 0
+    deletes this dataset's metadata for epochs <= epoch - keep_epochs
+    after writing (the evaluation suite reads the latest epoch only --
+    evaluation/metadata.py get_last_epoch)."""
     metadata_dir = os.path.join(logdir, "metadata")
     ids_dir = os.path.join(metadata_dir, "ordered_ids")
     os.makedirs(ids_dir, exist_ok=True)
@@ -175,13 +179,35 @@ def log_params(latent_logs: Dict[str, Dict[str, List[np.ndarray]]],
             # formatting at 100k-example scale; output is byte-identical
             # to the reference's csv.writer of "%.4f" cells.
             np.savetxt(path, arr, fmt="%.4f", delimiter=",")
+    if keep_epochs > 0:
+        _prune_metadata(metadata_dir, dataset_name, epoch - keep_epochs)
+
+
+def _prune_metadata(metadata_dir: str, dataset_name: str,
+                    max_stale_epoch: int) -> None:
+    """Delete one dataset's per-epoch metadata CSVs (mu/logvar/z +
+    ordered_ids) for every epoch <= max_stale_epoch."""
+    stale = re.compile(
+        rf"^{re.escape(dataset_name)}_(?:.+_)?(\d+)\.log$")
+    for sub in os.listdir(metadata_dir):
+        subdir = os.path.join(metadata_dir, sub)
+        if not os.path.isdir(subdir):
+            continue
+        for f in os.listdir(subdir):
+            m = stale.match(f)
+            if m and int(m.group(1)) <= max_stale_epoch:
+                try:
+                    os.remove(os.path.join(subdir, f))
+                except OSError:
+                    pass
 
 
 _metadata_threads: List = []
 
 
 def log_params_async(latent_logs, example_ids, logdir: str,
-                     dataset_name: str, epoch: int) -> None:
+                     dataset_name: str, epoch: int,
+                     keep_epochs: int = 0) -> None:
     """Run log_params in a background thread so the ~1 s of CSV formatting
     (1 CPU core, ~2M floats at 100k scale) overlaps the next epoch's device
     compute. Files are per-(dataset, epoch) unique so writes never contend;
@@ -189,14 +215,16 @@ def log_params_async(latent_logs, example_ids, logdir: str,
     _metadata_threads[:] = [t for t in _metadata_threads if t.is_alive()]
     t = threading.Thread(
         target=log_params,
-        args=(latent_logs, example_ids, logdir, dataset_name, epoch),
+        args=(latent_logs, example_ids, logdir, dataset_name, epoch,
+              keep_epochs),
         daemon=True)
     t.start()
     _metadata_threads.append(t)
 
 
 def log_latents_async(latents_seq, masks, example_ids, logdir: str,
-                      dataset_name: str, epoch: int) -> None:
+                      dataset_name: str, epoch: int,
+                      keep_epochs: int = 0) -> None:
     """log_params_async, but starting from the [S, B, D]-shaped per-step
     DEVICE arrays the fused epoch returns: the device->host transfer (the
     single largest host-side cost of a flagship epoch, ~150 MB through a
@@ -217,7 +245,8 @@ def log_latents_async(latents_seq, masks, example_ids, logdir: str,
         gathered = {ln: {pn: host_rows(arr)
                          for pn, arr in per_param.items()}
                     for ln, per_param in latents_box.pop().items()}
-        log_params(gathered, example_ids, logdir, dataset_name, epoch)
+        log_params(gathered, example_ids, logdir, dataset_name, epoch,
+                   keep_epochs)
 
     # backpressure: at most 2 epochs of metadata in flight -- a slow disk
     # must not accumulate unbounded threads + pinned device buffers

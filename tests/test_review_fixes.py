@@ -164,3 +164,55 @@ def test_native_csv_write_failure_surfaces():
         pytest.skip("native csv writer or /dev/full unavailable")
     with pytest.raises(OSError):
         native.write_csv_f32("/dev/full", np.ones((64, 64), np.float32))
+
+
+def test_checkpoint_retention_prunes_old_epochs(tmp_path):
+    """keep_checkpoints=2: after saving epochs 0..4, only the 2 newest
+    completed checkpoints plus the just-written one may remain; the
+    in-progress epoch's durable fallback is never deleted before the new
+    save lands."""
+    from dvae_tpu.training import checkpoint as C
+
+    class FakeState:
+        def _asdict(self):
+            return {"x": jnp.ones((4,))}
+
+    for ep in range(5):
+        C.save_checkpoint(FakeState(), str(tmp_path), ep,
+                          use_async=False, keep=2)
+    left = sorted(os.listdir(tmp_path))
+    assert left == ["model_2", "model_3", "model_4"], left
+    # keep=0 (default) preserves everything (reference behavior)
+    C.save_checkpoint(FakeState(), str(tmp_path), 5, use_async=False)
+    assert len(os.listdir(tmp_path)) == 4
+
+
+def test_checkpoint_retention_ignores_tmp_dirs(tmp_path):
+    from dvae_tpu.training import checkpoint as C
+    os.makedirs(tmp_path / "model_0")
+    os.makedirs(tmp_path / "model_1")
+    os.makedirs(tmp_path / "model_2.orbax-checkpoint-tmp-123")
+    C.prune_checkpoints(str(tmp_path), keep=1, newest_epoch=2)
+    left = sorted(os.listdir(tmp_path))
+    assert left == ["model_1", "model_2.orbax-checkpoint-tmp-123"], left
+
+
+def test_latent_log_retention(tmp_path):
+    """keep_epochs=2 in log_params deletes this dataset's metadata CSVs
+    older than the retention window, across mu/logvar/z and ordered_ids,
+    without touching other datasets' files."""
+    from dvae_tpu.training.logging import log_params
+
+    logs = {"content": {"z": [np.zeros(2, np.float32)],
+                        "mu": [np.zeros(2, np.float32)]}}
+    for ep in range(4):
+        log_params(logs, ["id0"], str(tmp_path), "train", ep,
+                   keep_epochs=2)
+        log_params(logs, ["id0"], str(tmp_path), "dev", ep)  # keep all
+    z = sorted(os.listdir(tmp_path / "metadata" / "z"))
+    assert z == ["dev_content_0.log", "dev_content_1.log",
+                 "dev_content_2.log", "dev_content_3.log",
+                 "train_content_2.log", "train_content_3.log"], z
+    ids = sorted(f for f in os.listdir(tmp_path / "metadata" / "ordered_ids")
+                 if f.startswith("train"))
+    assert ids == ["train_2.log", "train_3.log"], ids
