@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Full paper-style evaluation suite over the five flagship loss-ablation
+# variants (reference README.md:61-113 protocol): consistency/self-BLEU,
+# controlled generation, attribute transfer, and originals-vs-
+# reconstructions PPL (KN3 fallback; GPT-2 auto-activates when weights
+# are cached). MIG is produced separately by the sweep scripts.
+#
+# Usage: five_variant_full_eval.sh [dataset]   (default: dev)
+set -u
+cd "$(dirname "$0")/../.."
+ds=${1:-dev}
+base=logs/combined/sfu_amazon_100k
+data=data/combined/sfu_amazon_100k
+outroot=evaluation_results/five_variant_study
+
+for v in vae_inf vae_elbo vae_adv vae_mi "vae_adv+mi"; do
+  cfg="$base/$v/config_epoch0.json"
+  out="$outroot/$v"
+  mkdir -p "$out"
+  echo "==== $v consistency ($(date +%H:%M:%S))"
+  [ -f "$out/self_bleus_${ds}.csv" ] || \
+    python scripts/evaluation/consistency.py compute --num_resamples 10 \
+      "$cfg" "$out" "$ds"
+  python scripts/evaluation/consistency.py summarize "$out" "$ds" \
+    > "$out/consistency_summary_${ds}.txt" || true
+  echo "==== $v controlled generation"
+  [ -f "$out/controlled_${ds}.csv" ] || \
+    python scripts/evaluation/controlled_generation.py compute \
+      "$cfg" "$out/controlled_${ds}.csv" "$ds"
+  python scripts/evaluation/controlled_generation.py summarize \
+    "$out/controlled_${ds}.csv" > "$out/controlled_summary_${ds}.txt" || true
+  echo "==== $v attribute transfer"
+  [ -f "$out/transfer_${ds}.csv" ] || \
+    python scripts/evaluation/attribute_transfer.py compute \
+      "$cfg" "$out/transfer_${ds}.csv" "$ds"
+  python scripts/evaluation/attribute_transfer.py summarize \
+    "$out/transfer_${ds}.csv" > "$out/transfer_summary_${ds}.txt" || true
+  echo "==== $v perplexity"
+  [ -f "$out/ppl_reconstructions.jsonl.ppl.json" ] || \
+    python scripts/evaluation/compute_ppl.py "$cfg" "$data" \
+      "$out/ppl_reconstructions.jsonl"
+done
+echo "FULL EVAL DONE"

@@ -16,8 +16,27 @@ sys.path.insert(0, os.path.abspath(os.path.join(
 import numpy as np
 
 VARIANTS = ["vae_inf", "vae_elbo", "vae_adv", "vae_mi", "vae_adv+mi"]
+SEED_SUFFIXES = ["", "_s20", "_s30"]  # "" = each config's shipped seed
 BASE = "logs/combined/sfu_amazon_100k"
 OUTDIR = "evaluation_results/five_variant_study"
+
+
+def _accumulate(path, per_label):
+    for line in open(path):
+        datum = json.loads(line)
+        for lab, d in datum.items():
+            if lab == "sample_num":
+                continue
+            e = per_label.setdefault(lab, {"migs": [], "aligned": 0,
+                                           "n": 0})
+            e["migs"].append(d["MIG"])
+            e["n"] += 1
+            # MIG is top-2-gap and does not care WHICH latent is
+            # top; a variant can "win" MIG by collapsing all label
+            # info into content. Track whether the designated latent
+            # actually carries the most MI.
+            if d["sorted_latents"][0] == lab:
+                e["aligned"] += 1
 
 
 def main():
@@ -28,31 +47,37 @@ def main():
         raise SystemExit(f"missing MIG files: {missing}")
 
     table = {}
+    seed_table = {}
     for v, path in zip(VARIANTS, files):
+        # seed-pooled aggregate: every (seed x resample) MIG draw
         per_label = {}
-        for line in open(path):
-            datum = json.loads(line)
-            for lab, d in datum.items():
-                if lab == "sample_num":
-                    continue
-                e = per_label.setdefault(lab, {"migs": [], "aligned": 0,
-                                               "n": 0})
-                e["migs"].append(d["MIG"])
-                e["n"] += 1
-                # MIG is top-2-gap and does not care WHICH latent is
-                # top; a variant can "win" MIG by collapsing all label
-                # info into content. Track whether the designated latent
-                # actually carries the most MI.
-                if d["sorted_latents"][0] == lab:
-                    e["aligned"] += 1
+        seeds_used = []
+        per_seed_means = {}
+        for suf in SEED_SUFFIXES:
+            p = f"{BASE}/{v}{suf}/evaluation/MIGS_dev.jsonl"
+            if not os.path.exists(p):
+                continue
+            seeds_used.append(suf or "base")
+            one = {}
+            _accumulate(p, one)
+            for lab, e in one.items():
+                per_seed_means.setdefault(lab, []).append(
+                    float(np.mean(e["migs"])))
+                tot = per_label.setdefault(lab, {"migs": [], "aligned": 0,
+                                                 "n": 0})
+                tot["migs"].extend(e["migs"])
+                tot["aligned"] += e["aligned"]
+                tot["n"] += e["n"]
         table[v] = {lab: {"mig_mean": float(np.mean(e["migs"])),
                           "mig_std": float(np.std(e["migs"])),
                           "aligned_top_frac": e["aligned"] / e["n"],
                           "n": e["n"]}
                     for lab, e in per_label.items()}
+        seed_table[v] = {"seeds": seeds_used,
+                         "per_seed_mig_means": per_seed_means}
 
     with open(os.path.join(OUTDIR, "five_variant_migs.json"), "w") as f:
-        json.dump(table, f, indent=2)
+        json.dump({"pooled": table, "by_seed": seed_table}, f, indent=2)
 
     labels = sorted(next(iter(table.values())).keys())
     print(f"{'variant':12s} " +
@@ -64,8 +89,20 @@ def main():
             f"{table[v][l]['aligned_top_frac']:.0%}" for l in labels)
         print(f"{v:12s} {row}")
 
+    # boxplot over the seed-pooled draws: one combined JSONL per variant
+    import tempfile
+    pooled_files = []
+    tmpdir = tempfile.mkdtemp(prefix="fv_pooled_")
+    for v in VARIANTS:
+        p = os.path.join(tmpdir, f"{v}.jsonl")
+        with open(p, "w") as out:
+            for suf in SEED_SUFFIXES:
+                src = f"{BASE}/{v}{suf}/evaluation/MIGS_dev.jsonl"
+                if os.path.exists(src):
+                    out.write(open(src).read())
+        pooled_files.append(p)
     from dvae_tpu.evaluation.plots import plot_migs
-    plot_migs(files, os.path.join(OUTDIR, "five_variant_migs.png"),
+    plot_migs(pooled_files, os.path.join(OUTDIR, "five_variant_migs.png"),
               VARIANTS)
     print(f"wrote {OUTDIR}/five_variant_migs.{{json,png}}")
 
