@@ -26,6 +26,8 @@ kw = {"scan_f32": dict(lstm_backend="scan"),
                             fused_ce_backend="pallas"),
       "scan_bf16_cdf": dict(lstm_backend="scan", compute_dtype="bfloat16",
                             decoder_sampler="cdf"),
+      "scan_bf16_cond": dict(lstm_backend="scan", compute_dtype="bfloat16",
+                             cond_sampler=True),
       "xla_ce": dict(lstm_backend="pallas", fused_ce_backend="xla")}[variant]
 B = 128
 unroll = 1

@@ -139,6 +139,9 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # stays the default; the knob documents the negative result and keeps
     # the option for backends/shapes where the trade reverses.
     "decoder_sampler": (str, "gumbel"),
+    # lax.cond-skip the sampler on teacher-forced decode steps (the draw
+    # is dead there); bit-identical outputs, fewer [B, V] random bits.
+    "cond_sampler": (bool, False),
     # Unroll factor for the decode scan (identical math; measured neutral
     # at flagship scale -- 6.43 ms/step at unroll=2 vs 6.45 at 1, worse at
     # 4 -- the loop body's op overhead dominates, not iteration overhead).
@@ -312,6 +315,13 @@ class ModelConfig:
     fused_ce_backend: str = "xla"
     # see OPTIONAL_SCHEMA["decoder_sampler"]
     decoder_sampler: str = "gumbel"
+    # Skip the decode sampler's [B, V] random-bit generation + argmax on
+    # teacher-forced steps via lax.cond: the sampled token is dead there
+    # (jnp.where(coin, teacher, sampled) with a batch-shared coin), and
+    # JAX PRNG keys are functional, so skipping the draw changes no other
+    # stream -- outputs are bit-identical either way. ~half the decode
+    # steps skip the largest op in the step program at tf_ratio 0.5.
+    cond_sampler: bool = False
     # lax.scan unroll factor for the autoregressive decode loops: >1 trades
     # compile time/code size for fewer loop iterations (identical math)
     decode_unroll: int = 1
@@ -476,6 +486,7 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         fused_decoder_ce=params.get("fused_decoder_ce", True),
         fused_ce_backend=params.get("fused_ce_backend", "xla"),
         decoder_sampler=params.get("decoder_sampler", "gumbel"),
+        cond_sampler=params.get("cond_sampler", False),
         decode_unroll=params.get("decode_unroll", 1),
         deterministic_eval_z=params.get("deterministic_eval_z", False),
         pos_weights=tuple(sorted((k, float(v)) for k, v in pw.items())),

@@ -410,6 +410,10 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
                                       k_step, train)
         target_t = jax.lax.dynamic_index_in_dim(targets, t, axis=1,
                                                 keepdims=False)
+        # the coin is drawn BEFORE the CE op so cond_sampler can skip the
+        # sampler body on teacher-forced steps (the draw is dead there;
+        # keys are functional, so drawing the coin first changes nothing)
+        coin = jax.random.bernoulli(k_tf, tf_prob)
         if use_pallas_ce:
             from dvae_tpu.ops.pallas_ce import pallas_ce_sample
             seed = jax.random.randint(k_samp, (), 0, 2 ** 31 - 1,
@@ -418,13 +422,13 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
                 x, out_w, out_b, target_t, seed,
                 jax.default_backend() != "tpu")
         else:
-            ce_t, sampled = out_proj_ce_sample(x, out_w, out_b, target_t,
-                                               k_samp, cfg.compute_dtype,
-                                               cfg.decoder_sampler)
+            ce_t, sampled = out_proj_ce_sample(
+                x, out_w, out_b, target_t, k_samp, cfg.compute_dtype,
+                cfg.decoder_sampler,
+                coin if cfg.cond_sampler else None)
         ce_acc = ce_acc + ce_t * (t < lengths)
         teacher = jax.lax.dynamic_index_in_dim(inputs, t, axis=1,
                                                keepdims=False)
-        coin = jax.random.bernoulli(k_tf, tf_prob)
         nxt = jnp.where(coin, teacher, sampled.astype(inputs.dtype))
         return (h, c, nxt, ce_acc), nxt
 

@@ -28,10 +28,18 @@ from dvae_tpu.models.layers import dot
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def out_proj_ce_sample(h, w, b, target, key, compute_dtype="float32",
-                       sampler="gumbel"):
+                       sampler="gumbel", coin=None):
     """h [B,H], w [V,H], b [V], target [B] int, key -> (ce [B], sampled [B]).
 
     ce = logsumexp(h@w.T + b) - (h@w.T + b)[target]; sampled ~ softmax.
+
+    coin (optional traced scalar bool): "this step is teacher-forced, the
+    sample is dead" -- when True the sampler body (random-bit generation +
+    argmax, or softmax+cumsum for "cdf") is skipped via lax.cond and
+    zeros are returned in its place. The caller's
+    jnp.where(coin, teacher, sampled) makes outputs bit-identical either
+    way; JAX PRNG keys are functional, so the skipped draw perturbs no
+    other stream.
 
     sampler: "gumbel" draws via jax.random.categorical (Gumbel-argmax; one
     random number PER LOGIT, bit-identical to the materialized-logits
@@ -43,32 +51,45 @@ def out_proj_ce_sample(h, w, b, target, key, compute_dtype="float32",
     the cumsum cannot index past the last nonzero-probability entry (in
     particular, inert vocab padding rows can never be sampled).
     """
-    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype, sampler)
+    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype, sampler,
+                              coin)
     return ce, sampled
 
 
-def _forward(h, w, b, target, key, compute_dtype, sampler):
+def _forward(h, w, b, target, key, compute_dtype, sampler, coin=None):
     logits = dot(h, w, compute_dtype) + b
     lse = jax.nn.logsumexp(logits, axis=-1)
     tgt = jnp.take_along_axis(logits, target[:, None].astype(jnp.int32),
                               axis=-1)[:, 0]
-    if sampler == "cdf":
-        p = jnp.exp(logits - lse[:, None])
-        c = jnp.cumsum(p, axis=-1)
-        # (1 - uniform) maps [0,1) onto (0,1]: u is guaranteed positive, so
-        # a zero-probability index 0 (p[0]==0 => c[0]==0 < u) can never be
-        # selected even when the generator returns exactly 0.0
-        u = (1.0 - jax.random.uniform(key, (logits.shape[0],))) * c[:, -1]
-        sampled = jnp.sum(c < u[:, None], axis=-1).astype(jnp.int32)
-    elif sampler == "gumbel":
-        sampled = jax.random.categorical(key, logits).astype(jnp.int32)
-    else:
+
+    def draw(logits, lse):
+        if sampler == "cdf":
+            p = jnp.exp(logits - lse[:, None])
+            c = jnp.cumsum(p, axis=-1)
+            # (1 - uniform) maps [0,1) onto (0,1]: u is guaranteed
+            # positive, so a zero-probability index 0 (p[0]==0 =>
+            # c[0]==0 < u) can never be selected even when the generator
+            # returns exactly 0.0
+            u = (1.0 - jax.random.uniform(key, (logits.shape[0],))) \
+                * c[:, -1]
+            return jnp.sum(c < u[:, None], axis=-1).astype(jnp.int32)
+        elif sampler == "gumbel":
+            return jax.random.categorical(key, logits).astype(jnp.int32)
         raise ValueError(f"unknown sampler {sampler!r}")
+
+    if coin is None:
+        sampled = draw(logits, lse)
+    else:
+        sampled = jax.lax.cond(
+            coin,
+            lambda l, s: jnp.zeros((l.shape[0],), jnp.int32),
+            draw, logits, lse)
     return lse - tgt, sampled, logits
 
 
-def _fwd(h, w, b, target, key, compute_dtype, sampler):
-    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype, sampler)
+def _fwd(h, w, b, target, key, compute_dtype, sampler, coin=None):
+    ce, sampled, _ = _forward(h, w, b, target, key, compute_dtype, sampler,
+                              coin)
     # residuals exclude the logits -- that is the whole point
     return (ce, sampled), (h, w, b, target)
 
@@ -87,7 +108,7 @@ def _bwd(compute_dtype, sampler, res, grads):
     # (layers.cast_matmul_weights) w arrives bf16 while the grads above
     # accumulate in f32
     return (dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype),
-            None, None)
+            None, None, None)
 
 
 out_proj_ce_sample.defvjp(_fwd, _bwd)

@@ -235,3 +235,49 @@ def test_cdf_sampler_distribution_and_padding():
         return jax.grad(f)(h)
     np.testing.assert_allclose(np.asarray(loss("gumbel")),
                                np.asarray(loss("cdf")), rtol=1e-6)
+
+
+def test_cond_sampler_bit_identical():
+    """cond_sampler=True (lax.cond-skip the dead sampler draw on
+    teacher-forced steps) must be bit-identical to the unconditional path:
+    same keys drive the same draw on free-running steps, and the skipped
+    draw's zeros are masked out by jnp.where(coin, teacher, sampled)."""
+    from dvae_tpu.training import create_train_state, kl_weight_vector, \
+        make_train_step
+    batch = make_batch(make_cfg(), B=8, seed=4)
+    base = make_cfg(encoder_dropout=0.0, decoder_dropout=0.0)
+    results = {}
+    for cond in (True, False):
+        cfg = dataclasses.replace(base, cond_sampler=cond)
+        params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
+        state = create_train_state(params, 1e-3, 0)
+        step = jax.jit(make_train_step(cfg, constants, 1e-3))
+        klw = jnp.asarray(kl_weight_vector(cfg, {"default": 0.01}, 1.0))
+        new_state, metrics, _, preds = step(state, batch, klw,
+                                            jnp.asarray(0.5),
+                                            jnp.asarray(0.01))
+        results[cond] = (float(metrics["total_loss"]),
+                        np.asarray(preds),
+                        np.asarray(new_state.params["main"]["z2h"]["w"]))
+    assert results[True][0] == results[False][0]
+    np.testing.assert_array_equal(results[True][1], results[False][1])
+    np.testing.assert_array_equal(results[True][2], results[False][2])
+
+    # and at the op level with an always-True coin: CE unchanged, sampler
+    # body skipped (sampled == zeros)
+    rng = np.random.default_rng(1)
+    B, H, V = 6, 8, 31
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, V, size=B).astype(np.int32))
+    key = jax.random.PRNGKey(3)
+    ce_ref, _ = out_proj_ce_sample(h, w, b, target, key)
+    ce_tf, s_tf = out_proj_ce_sample(h, w, b, target, key, "float32",
+                                     "gumbel", jnp.asarray(True))
+    ce_fr, s_fr = out_proj_ce_sample(h, w, b, target, key, "float32",
+                                     "gumbel", jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(ce_ref), np.asarray(ce_tf))
+    np.testing.assert_array_equal(np.asarray(s_tf), np.zeros(B, np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(s_fr), np.asarray(jax.random.categorical(key, h @ w.T + b)))
