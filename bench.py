@@ -87,13 +87,11 @@ def main():
     # (one lax.scan device program over the epoch's stacked batches), so
     # per-step host dispatch -- ~2 ms/step of tunnel overhead in the loop
     # above -- does not exist in real training. Time S scanned steps.
+    from dvae_tpu.parallel import stack_batches
     from dvae_tpu.training import make_train_epoch
     S = 64
-    stacked = {}
-    for k in ("noisy_X", "X", "lengths", "example_mask"):
-        stacked[k] = jnp.stack([batch[k]] * S)
-    stacked["labels"] = {n: jnp.stack([batch["labels"][n]] * S)
-                         for n in cfg.dsc_names}
+    # one device upload up front: the timed loop reuses resident arrays
+    stacked = jax.tree.map(jnp.asarray, stack_batches([batch_np] * S))
     klw_seq = jnp.stack([klw] * S)
     epoch_fn = jax.jit(make_train_epoch(cfg, constants, 3e-4),
                        donate_argnums=(0,))

@@ -17,18 +17,8 @@ if "--rbg" in sys.argv:
     # TPU hardware RNG instead of threefry: distribution-equal draws,
     # bit-different streams; measures the threefry share of sampling cost
     jax.config.update("jax_default_prng_impl", "rbg")
-kw = {"scan_f32": dict(lstm_backend="scan"),
-      "pallas_f32": dict(lstm_backend="pallas"),
-      "scan_bf16": dict(lstm_backend="scan", compute_dtype="bfloat16"),
-      "pallas_bf16": dict(lstm_backend="pallas", compute_dtype="bfloat16"),
-      "pallas_ce": dict(lstm_backend="pallas", fused_ce_backend="pallas"),
-      "scan_bf16_pce": dict(lstm_backend="scan", compute_dtype="bfloat16",
-                            fused_ce_backend="pallas"),
-      "scan_bf16_cdf": dict(lstm_backend="scan", compute_dtype="bfloat16",
-                            decoder_sampler="cdf"),
-      "scan_bf16_cond": dict(lstm_backend="scan", compute_dtype="bfloat16",
-                             cond_sampler=True),
-      "xla_ce": dict(lstm_backend="pallas", fused_ce_backend="xla")}[variant]
+from benchmarks.variants import VARIANTS
+kw = VARIANTS[variant]
 B = 128
 unroll = 1
 vpad = -1

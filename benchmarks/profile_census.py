@@ -28,13 +28,7 @@ from dvae_tpu.training import (create_train_state, kl_weight_vector,
                                make_train_step)
 from dvae_tpu.utils import enable_compilation_cache
 
-VARIANTS = {
-    "scan_bf16": dict(lstm_backend="scan", compute_dtype="bfloat16"),
-    "scan_f32": dict(lstm_backend="scan"),
-    "pallas_f32": dict(lstm_backend="pallas"),
-    "scan_bf16_pce": dict(lstm_backend="scan", compute_dtype="bfloat16",
-                          fused_ce_backend="pallas"),
-}
+from benchmarks.variants import VARIANTS
 
 
 def capture(variant: str, n_steps: int, trace_dir: str) -> None:
@@ -93,14 +87,17 @@ def summarize(trace_dir: str, n_steps: int):
     print(f"device time: {total / 1e9 / n_steps:.3f} ms/step over "
           f"{n_steps} steps")
     if prog_metrics.get("flops") is not None:
+        bw = prog_metrics.get("bandwidthUtils") or [0]
         print(f"device-reported FLOPs utilization: "
               f"{prog_metrics['flops'] * 100:.1f}% "
               f"(rawFlops {prog_metrics.get('rawFlops', 0) / n_steps:.3e}"
-              f"/step); HBM util "
-              f"{prog_metrics.get('bandwidthUtils', [0])[0] * 100:.1f}%")
+              f"/step); HBM util {bw[0] * 100:.1f}%")
     print("\n-- by category (ms/step) --")
     for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"{t / 1e9 / n_steps:8.3f}  {t / total * 100:5.1f}%  {cat}")
+        # rawTime can be all-zero on a trace captured before any step ran
+        # (or an older xprof schema); print the partial table, not a crash
+        pct = t / total * 100 if total else 0.0
+        print(f"{t / 1e9 / n_steps:8.3f}  {pct:5.1f}%  {cat}")
     print("\n-- top 25 op groups (ms/step; fusion groups aggregate "
           "duplicates) --")
     ops.sort(reverse=True)

@@ -510,8 +510,7 @@ def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
         kept for parity).
     Reconstructions are saved to `logfile` and the numeric results to
     `logfile`.ppl.json either way."""
-    from dvae_tpu.evaluation.ppl import (gpt2_available, kn_ppl_report,
-                                         ngram_ppl_report)
+    from dvae_tpu.evaluation.ppl import gpt2_available
 
     use_gpt2 = gpt2_available()
     if not use_gpt2:
@@ -549,15 +548,8 @@ def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
                              "reconstruction_ppl": rppl}
     else:
         train_sents = [sent for _, sent in data.get("train", [])]
-        report = (kn_ppl_report(train_sents, pairs)
-                  if fallback == "kn3"
-                  else ngram_ppl_report(train_sents, pairs, n=ngram_order))
-        for name, row in report.items():
-            print(f"{name}: {row['original_ppl']:.4f} "
-                  f"(UNK={row['original_unk']})")
-            print(f"    recon: {row['reconstruction_ppl']:.4f} "
-                  f"(UNK={row['reconstruction_unk']})")
-            results[name] = row
+        _fallback_report(train_sents, pairs, ngram_order, fallback,
+                         results)
 
     with open(logfile, "w") as f:
         for name, ps in pairs.items():
@@ -569,6 +561,23 @@ def compute_ppl(params_file: str, data_dir: str, logfile: str, N: int = -1,
         json.dump(results, f, indent=2)
 
 
+def _fallback_report(train_sents, pairs, ngram_order, fallback, results):
+    """Fit the n-gram fallback LM, print the per-split orig/recon PPL
+    table, and merge rows into `results` -- the block compute_ppl and
+    rescore_ppl share (one definition so the printed/written contract
+    cannot diverge)."""
+    from dvae_tpu.evaluation.ppl import kn_ppl_report, ngram_ppl_report
+    report = (kn_ppl_report(train_sents, pairs) if fallback == "kn3"
+              else ngram_ppl_report(train_sents, pairs, n=ngram_order))
+    for name, row in report.items():
+        print(f"{name}: {row['original_ppl']:.4f} "
+              f"(UNK={row['original_unk']})")
+        print(f"    recon: {row['reconstruction_ppl']:.4f} "
+              f"(UNK={row['reconstruction_unk']})")
+        results[name] = row
+    return results
+
+
 def rescore_ppl(data_dir: str, logfile: str, ngram_order: int = 2,
                 fallback: str = "kn3") -> Dict[str, Dict]:
     """Re-score a SAVED originals-vs-reconstructions log (the jsonl that
@@ -577,8 +586,6 @@ def rescore_ppl(data_dir: str, logfile: str, ngram_order: int = 2,
     for LM fitting come from `data_dir`/train.jsonl. Writes
     `logfile`.ppl.json (same contract as compute_ppl) and returns the
     results dict."""
-    from dvae_tpu.evaluation.ppl import kn_ppl_report, ngram_ppl_report
-
     pairs: Dict[str, List] = {}
     for line in open(logfile):
         row = json.loads(line)
@@ -586,16 +593,9 @@ def rescore_ppl(data_dir: str, logfile: str, ngram_order: int = 2,
             (row["sentence"], row["reconstruction"]))
     train_path = os.path.join(data_dir, "train.jsonl")
     train_sents = [json.loads(line)["sentence"] for line in open(train_path)]
-    report = (kn_ppl_report(train_sents, pairs) if fallback == "kn3"
-              else ngram_ppl_report(train_sents, pairs, n=ngram_order))
     results: Dict[str, Dict] = {
         "estimator": "kn3" if fallback == "kn3" else f"{ngram_order}-gram"}
-    for name, row in report.items():
-        print(f"{name}: {row['original_ppl']:.4f} "
-              f"(UNK={row['original_unk']})")
-        print(f"    recon: {row['reconstruction_ppl']:.4f} "
-              f"(UNK={row['reconstruction_unk']})")
-        results[name] = row
+    _fallback_report(train_sents, pairs, ngram_order, fallback, results)
     with open(logfile + ".ppl.json", "w") as f:
         json.dump(results, f, indent=2)
     return results

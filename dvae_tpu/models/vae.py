@@ -401,6 +401,12 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
             raise ValueError("pallas CE unsupported for these shapes")
         use_pallas_ce = ok and (cfg.fused_ce_backend == "pallas"
                                 or jax.default_backend() == "tpu")
+    if use_pallas_ce and cfg.cond_sampler:
+        import warnings
+        warnings.warn(
+            "cond_sampler=true has no effect under the pallas CE backend "
+            "(the streaming kernel draws inline and takes no coin); the "
+            "teacher-forced sampler skip only applies to the xla CE path")
 
     def step(carry, t):
         h, c, prev, ce_acc = carry
@@ -483,6 +489,11 @@ def _stacked_head_logits(heads: Dict[str, Dict], cfg: ModelConfig,
 
     wiring: [(head_name, input_latent_name, out_dim), ...].
     """
+    if not wiring:
+        # e.g. no named latent matches any label (dsc_names empty), or
+        # every adversarial pair was filtered out -- the per-head-loop
+        # predecessor returned {} here and training proceeded headless
+        return {}
     if len(wiring) == 1:
         name, ln, _ = wiring[0]
         return {name: linear(zs[ln], heads[name], cfg.compute_dtype)}

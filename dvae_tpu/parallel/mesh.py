@@ -102,3 +102,22 @@ def shard_stacked_batch(plan: MeshPlan, tree):
     sharded over 'data' (the whole-epoch lax.scan path)."""
     sh = NamedSharding(plan.mesh, P(None, "data"))
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def stack_batches(batches):
+    """[S] per-step batches -> one {field: [S, B, ...]} tree for the
+    fused-epoch lax.scan (the layout shard_stacked_batch places). Accepts
+    the driver's collated HostBatch objects or plain dicts with the same
+    fields; the single definition keeps the four epoch-stacking call
+    sites (driver train/eval, bench, dryrun) from diverging."""
+    import numpy as np
+
+    def get(b, k):
+        return b[k] if isinstance(b, dict) else getattr(b, k)
+
+    labels0 = get(batches[0], "labels")
+    out = {k: np.stack([np.asarray(get(b, k)) for b in batches])
+           for k in ("noisy_X", "X", "lengths", "example_mask")}
+    out["labels"] = {n: np.stack([np.asarray(get(b, "labels")[n])
+                                  for b in batches]) for n in labels0}
+    return out

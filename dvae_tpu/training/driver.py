@@ -406,21 +406,11 @@ def run(params_file: str, verbose: bool = False) -> None:
         """Collate, stack, and upload one training epoch's batches. Runs
         either inline (first epoch) or on the prefetch thread, overlapped
         with the previous epoch's device compute."""
-        from dvae_tpu.parallel import shard_stacked_batch
+        from dvae_tpu.parallel import shard_stacked_batch, stack_batches
         host_batches = list(pipeline.epoch())
         S = len(host_batches)
         step0 = epoch * steps_per_epoch
-
-        def stack(field):
-            return np.stack([getattr(b, field) for b in host_batches])
-
-        stacked = {
-            "noisy_X": stack("noisy_X"), "X": stack("X"),
-            "lengths": stack("lengths"),
-            "labels": {k: np.stack([b.labels[k] for b in host_batches])
-                       for k in host_batches[0].labels},
-            "example_mask": stack("example_mask"),
-        }
+        stacked = stack_batches(host_batches)
         klw_seq = np.stack([
             kl_weight_vector(cfg, params["lambdas"],
                              float(get_cyclic_kl_weight(step0 + i,
@@ -573,21 +563,13 @@ def run(params_file: str, verbose: bool = False) -> None:
         return state
 
     def evalstep_epoch(state, epoch: int, name: str = "dev"):
-        from dvae_tpu.parallel import shard_stacked_batch
+        from dvae_tpu.parallel import shard_stacked_batch, stack_batches
         loss_logger = LossLogger(writer(name), epoch)
         pipeline = exp.eval_pipeline(name)
         host_batches = list(pipeline.epoch())
         S = len(host_batches)
         klw = kl_weight_vector(cfg, params["lambdas"], 1.0)  # run.py:373-376
-        stacked = {
-            "noisy_X": np.stack([b.noisy_X for b in host_batches]),
-            "X": np.stack([b.X for b in host_batches]),
-            "lengths": np.stack([b.lengths for b in host_batches]),
-            "labels": {k: np.stack([b.labels[k] for b in host_batches])
-                       for k in host_batches[0].labels},
-            "example_mask": np.stack([b.example_mask
-                                      for b in host_batches]),
-        }
+        stacked = stack_batches(host_batches)
         dev = shard_stacked_batch(exp.plan, stacked)
         metrics_seq, latents_seq, preds_seq = eval_epoch(
             state, dev, jnp.asarray(klw),

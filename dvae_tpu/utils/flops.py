@@ -58,11 +58,12 @@ def encoder_flops(cfg: ModelConfig, B: int, T: int) -> int:
     return total
 
 
-def latent_head_flops(cfg: ModelConfig, B: int) -> int:
+def latent_head_flops(cfg: ModelConfig, B: int,
+                      include_z2h: bool = True) -> int:
     """c2p heads (context -> 2*dim each) + z2h."""
     c2p = 2 * B * cfg.context_dim * sum(2 * d for d in cfg.latent_dims)
     z2h = 2 * B * cfg.total_latent_dim * 2 * cfg.hidden_dim * cfg.dec_layers
-    return c2p + z2h
+    return c2p + (z2h if include_z2h else 0)
 
 
 def _small_head_flops(cfg: ModelConfig, B: int) -> int:
@@ -109,8 +110,9 @@ def train_step_flops(cfg: ModelConfig, B: int, T: int) -> Dict[str, int]:
     # adversary + CLUB optimizer groups: forward + backward over the small
     # heads only (z is detached)
     aux = 3 * _small_head_flops(cfg, B)
-    # AE-drift re-encode with updated params: encoder + latent heads
-    reenc = enc + latent_head_flops(cfg, B)
+    # AE-drift re-encode with updated params: encoder + c2p only -- the
+    # re-encode path (step.py "autoencoding drift") never runs z2h
+    reenc = enc + latent_head_flops(cfg, B, include_z2h=False)
     total = fwd + bwd + aux + reenc
     return {"forward": fwd, "backward": bwd, "aux_groups": aux,
             "reencode": reenc, "total": total}

@@ -79,14 +79,17 @@ def main():
     with open(os.path.join(OUTDIR, "five_variant_migs.json"), "w") as f:
         json.dump({"pooled": table, "by_seed": seed_table}, f, indent=2)
 
-    labels = sorted(next(iter(table.values())).keys())
+    # union across variants: a label missing from one variant's MIGS file
+    # (e.g. a dataset lacking it) prints as "--" instead of KeyError-ing
+    labels = sorted({lab for t in table.values() for lab in t})
     print(f"{'variant':12s} " +
           "  ".join(f"{l + ' (MIG, aligned-top)':>34s}" for l in labels))
     for v in VARIANTS:
         row = "  ".join(
-            f"{table[v][l]['mig_mean']:.4f} +/- "
-            f"{table[v][l]['mig_std']:.4f}  "
-            f"{table[v][l]['aligned_top_frac']:.0%}" for l in labels)
+            (f"{table[v][l]['mig_mean']:.4f} +/- "
+             f"{table[v][l]['mig_std']:.4f}  "
+             f"{table[v][l]['aligned_top_frac']:.0%}")
+            if l in table[v] else f"{'--':>34s}" for l in labels)
         print(f"{v:12s} {row}")
 
     # boxplot over the seed-pooled draws: one combined JSONL per variant

@@ -22,6 +22,15 @@ def test_flagship_flops_magnitude():
     # backward = 2x forward + one rematerialized projection pass
     proj = 2 * 128 * 16 * 256 * 20000
     assert fl["backward"] == 2 * fl["forward"] + proj
+    # re-encode = encoder + c2p heads only (no z2h: the AE-drift path in
+    # step.py re-encodes predictions but never decodes)
+    from dvae_tpu.utils.flops import encoder_flops, latent_head_flops
+    cfg = _flagship_cfg()
+    assert fl["reencode"] == (encoder_flops(cfg, 128, 17)
+                              + latent_head_flops(cfg, 128,
+                                                  include_z2h=False))
+    assert latent_head_flops(cfg, 128) > latent_head_flops(
+        cfg, 128, include_z2h=False)
 
 
 def test_mfu_known_device():

@@ -320,3 +320,14 @@ def test_decode_unroll_bit_identical():
     np.testing.assert_array_equal(np.asarray(outs[0]["token_predictions"]),
                                   np.asarray(outs[1]["token_predictions"]))
 
+
+
+def test_stacked_heads_empty_wiring_returns_empty():
+    """A config whose named latents match no label (dsc_names empty, or
+    every adversarial pair filtered out) must produce {} logits -- the
+    behavior of the pre-stacking per-head loops -- not an IndexError."""
+    from dvae_tpu.models.vae import _stacked_head_logits
+    from tests.test_train_step import make_cfg
+
+    cfg = make_cfg()
+    assert _stacked_head_logits({}, cfg, {}, []) == {}
