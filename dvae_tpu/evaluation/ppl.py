@@ -19,6 +19,7 @@ Two estimators:
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence, Tuple
 
@@ -27,13 +28,22 @@ import numpy as np
 NGRAM_FLOOR = 1e-8
 
 
+def gpt2_model_name() -> str:
+    """HF model id or local path for the PPL scorer. DVAE_GPT2_MODEL
+    overrides the default "gpt2" -- e.g. a local fine-tuned copy, or a
+    path on an air-gapped host where the hub cache cannot be populated
+    (the scoring loop itself is model-size agnostic)."""
+    return os.environ.get("DVAE_GPT2_MODEL", "gpt2")
+
+
 def gpt2_available() -> bool:
-    """True iff the HF gpt2 weights are loadable from the local cache.
+    """True iff the GPT-2 scorer's weights are loadable from local files.
     Never touches the network (local_files_only)."""
     try:
         from transformers import GPT2LMHeadModel, GPT2Tokenizer
-        GPT2Tokenizer.from_pretrained("gpt2", local_files_only=True)
-        GPT2LMHeadModel.from_pretrained("gpt2", local_files_only=True)
+        name = gpt2_model_name()
+        GPT2Tokenizer.from_pretrained(name, local_files_only=True)
+        GPT2LMHeadModel.from_pretrained(name, local_files_only=True)
         return True
     except Exception:
         return False
@@ -43,8 +53,8 @@ def gpt2_ppl(sentences: List[str], stride: int = 512) -> float:
     """GPT-2 sliding-window perplexity (reference compute_ppl.py:70-95)."""
     import torch
     from transformers import GPT2LMHeadModel, GPT2Tokenizer
-    tokenizer = GPT2Tokenizer.from_pretrained("gpt2")
-    model = GPT2LMHeadModel.from_pretrained("gpt2")
+    tokenizer = GPT2Tokenizer.from_pretrained(gpt2_model_name())
+    model = GPT2LMHeadModel.from_pretrained(gpt2_model_name())
     model.eval()
     enc = tokenizer.encode("\n\n".join(sentences), return_tensors="pt")
     max_length = model.config.n_positions
