@@ -14,5 +14,8 @@ VARIANTS = {
                           decoder_sampler="cdf"),
     "scan_bf16_cond": dict(lstm_backend="scan", compute_dtype="bfloat16",
                            cond_sampler=True),
+    # the pre-round-3 unconditional program (cond_sampler now defaults on)
+    "scan_bf16_nocond": dict(lstm_backend="scan", compute_dtype="bfloat16",
+                             cond_sampler=False),
     "xla_ce": dict(lstm_backend="pallas", fused_ce_backend="xla"),
 }

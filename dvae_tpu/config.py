@@ -141,7 +141,9 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     "decoder_sampler": (str, "gumbel"),
     # lax.cond-skip the sampler on teacher-forced decode steps (the draw
     # is dead there); bit-identical outputs, fewer [B, V] random bits.
-    "cond_sampler": (bool, False),
+    # Default ON since the round-3 A/B: clear win under threefry (the
+    # default prng), tie under rbg, identical losses either way.
+    "cond_sampler": (bool, True),
     # Unroll factor for the decode scan (identical math; measured neutral
     # at flagship scale -- 6.43 ms/step at unroll=2 vs 6.45 at 1, worse at
     # 4 -- the loop body's op overhead dominates, not iteration overhead).
@@ -321,7 +323,10 @@ class ModelConfig:
     # JAX PRNG keys are functional, so skipping the draw changes no other
     # stream -- outputs are bit-identical either way. ~half the decode
     # steps skip the largest op in the step program at tf_ratio 0.5.
-    cond_sampler: bool = False
+    # On by default (round-3 A/B: faster under threefry, tie under rbg,
+    # device losses bit-identical); set false to trace the reference-
+    # shaped unconditional program.
+    cond_sampler: bool = True
     # lax.scan unroll factor for the autoregressive decode loops: >1 trades
     # compile time/code size for fewer loop iterations (identical math)
     decode_unroll: int = 1
@@ -486,7 +491,7 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         fused_decoder_ce=params.get("fused_decoder_ce", True),
         fused_ce_backend=params.get("fused_ce_backend", "xla"),
         decoder_sampler=params.get("decoder_sampler", "gumbel"),
-        cond_sampler=params.get("cond_sampler", False),
+        cond_sampler=params.get("cond_sampler", True),
         decode_unroll=params.get("decode_unroll", 1),
         deterministic_eval_z=params.get("deterministic_eval_z", False),
         pos_weights=tuple(sorted((k, float(v)) for k, v in pw.items())),
