@@ -6,9 +6,12 @@ flagship scale, batched. Timing windows close with host value fetches
 (block_until_ready is not a reliable barrier on this device runtime --
 see benchmarks/RESULTS.md).
 
-Usage: python benchmarks/generation_bench.py [batch ...]  (default 128 512)
+Usage: python benchmarks/generation_bench.py [--dtype float32|bfloat16]
+           [--prng threefry|rbg] [batch ...]          (default 128 512)
 """
 
+import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -16,19 +19,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-
-import __graft_entry__ as ge
-from dvae_tpu.models import init_vae_params
-from dvae_tpu.models.vae import sample
-
 MAX_LEN = 30  # reference inspect_model default (model.py:484-512)
 
 
-def run(B):
+def run(B, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from dvae_tpu.models import init_vae_params
+    from dvae_tpu.models.vae import sample
+
     cfg = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256,
                            layers=2, max_length=17)
+    cfg = dataclasses.replace(cfg, compute_dtype=dtype)
     params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
 
     @jax.jit
@@ -53,8 +57,24 @@ def run(B):
 
 
 def main():
-    for b in [int(x) for x in sys.argv[1:]] or [128, 512]:
-        run(b)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--prng", default="threefry",
+                    choices=["threefry", "rbg"])
+    ap.add_argument("--cache", action="store_true",
+                    help="enable the persistent XLA compilation cache")
+    ap.add_argument("batches", nargs="*", type=int, default=[128, 512])
+    args = ap.parse_args()
+    if args.cache:
+        from dvae_tpu.utils import enable_compilation_cache
+        enable_compilation_cache("auto")
+    import jax
+    jax.config.update("jax_default_prng_impl", args.prng)
+    print(f"# dtype={args.dtype} prng={args.prng} "
+          f"device={jax.devices()[0].device_kind}")
+    for b in args.batches:
+        run(b, args.dtype)
 
 
 if __name__ == "__main__":
