@@ -96,6 +96,23 @@ def transfer_stats(vdir):
             for lat in sorted(hit)}
 
 
+def length_regression_stats(vdir):
+    """Parse predict_ntokens_dev.txt (latent -> n_tokens R^2; reference
+    scripts/helpers/predict_ntokens.py, paper Table 12): the single-space
+    combination rows up to the per-dimension section."""
+    path = os.path.join(vdir, f"predict_ntokens_{DS}.txt")
+    if not os.path.exists(path):
+        return None
+    out = {}
+    for line in open(path):
+        if line.startswith("Per-dimension"):
+            break
+        parts = line.split()
+        if len(parts) == 4 and parts[1] == "R^2" and parts[2] == "=":
+            out[parts[0]] = float(parts[3])
+    return out or None
+
+
 def ppl_stats(vdir):
     path = os.path.join(vdir, "ppl_reconstructions.jsonl.ppl.json")
     if not os.path.exists(path):
@@ -118,7 +135,8 @@ def main():
         table[v] = {"consistency": consistency_stats(vdir),
                     "controlled_generation": controlled_stats(vdir),
                     "attribute_transfer": transfer_stats(vdir),
-                    "perplexity": ppl_stats(vdir)}
+                    "perplexity": ppl_stats(vdir),
+                    "length_regression": length_regression_stats(vdir)}
 
     with open(os.path.join(OUTDIR, "full_eval_summary.json"), "w") as f:
         json.dump(table, f, indent=2)
@@ -177,6 +195,17 @@ def main():
         lines.append(
             f"| {v} | {fmt(p and p['dev_original'], '{:.1f}')} | "
             f"{fmt(p and p['dev_reconstruction'], '{:.1f}')} |")
+
+    lr_keys = ["content", "polarity", "uncertainty"]
+    if any(table[v]["length_regression"] for v in VARIANTS):
+        lines += ["", "## Latent -> n_tokens regression (R^2; paper "
+                  "Table 12 protocol)", "",
+                  "| variant | " + " | ".join(lr_keys) + " |",
+                  "|" + "---|" * (len(lr_keys) + 1)]
+        for v in VARIANTS:
+            lr = table[v]["length_regression"]
+            lines.append("| " + v + " | " + " | ".join(
+                fmt(lr.get(k) if lr else None) for k in lr_keys) + " |")
 
     md = "\n".join(lines) + "\n"
     with open(os.path.join(OUTDIR, "full_eval_summary.md"), "w") as f:

@@ -44,6 +44,13 @@ def _write_variant(vdir):
                     "polarity": {"true": 1, "pred": 1},
                     "uncertainty": {"true": 0, "pred": 1 - keep},
                 }}) + "\n")
+    with open(os.path.join(vdir, "predict_ntokens_dev.txt"), "w") as f:
+        f.write("Predicting n_tokens from latents (dev, epoch 19); N=10\n"
+                "  content                R^2 = 0.9100\n"
+                "  polarity               R^2 = 0.0100\n"
+                "  content+polarity       R^2 = 0.9200\n"
+                "Per-dimension R^2 (content):\n"
+                "  dim 0   R^2 = 0.5\n")
     with open(os.path.join(vdir, "ppl_reconstructions.jsonl.ppl.json"),
               "w") as f:
         json.dump({"estimator": "kn3",
@@ -76,6 +83,9 @@ def test_full_eval_summary(tmp_path, monkeypatch, capsys):
     np.testing.assert_allclose(at["transfer_acc"], 1.0)
     np.testing.assert_allclose(at["retain_acc"], 0.5)
     assert x["perplexity"]["dev_original"] == 100.0
+    lr = x["length_regression"]
+    assert lr == {"content": 0.91, "polarity": 0.01,
+                  "content+polarity": 0.92}  # per-dim section excluded
 
     m = got["vae_missing"]
     assert all(v is None for v in m.values())
@@ -84,3 +94,4 @@ def test_full_eval_summary(tmp_path, monkeypatch, capsys):
     assert "| vae_x | 0.500 | 0.900 |" in md
     assert "| vae_missing | -- | -- |" in md
     assert "| vae_x | 100.0 | 200.0 |" in md
+    assert "| vae_x | 0.910 | 0.010 | -- |" in md  # no uncertainty row
