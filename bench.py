@@ -22,6 +22,9 @@ import time
 
 
 def main():
+    from dvae_tpu.utils import apply_platform_override
+    apply_platform_override()  # DVAE_PLATFORM=... before backend init
+
     import jax
     import jax.numpy as jnp
     import numpy as np

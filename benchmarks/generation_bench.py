@@ -66,6 +66,8 @@ def main():
                     help="enable the persistent XLA compilation cache")
     ap.add_argument("batches", nargs="*", type=int, default=[128, 512])
     args = ap.parse_args()
+    from dvae_tpu.utils import apply_platform_override
+    apply_platform_override()  # DVAE_PLATFORM=... before backend init
     if args.cache:
         from dvae_tpu.utils import enable_compilation_cache
         enable_compilation_cache("auto")

@@ -17,6 +17,10 @@ import shlex
 
 import numpy as np
 
+from dvae_tpu.utils import apply_platform_override
+
+apply_platform_override()  # DVAE_PLATFORM=cpu|... before any backend init
+
 
 def parse_args():
     p = argparse.ArgumentParser()

@@ -6,7 +6,11 @@ Public interface matches the reference driver (reference run.py:32-40,
 
 import argparse
 
-from dvae_tpu.training.driver import run
+from dvae_tpu.utils import apply_platform_override
+
+apply_platform_override()  # DVAE_PLATFORM=cpu|... before any backend init
+
+from dvae_tpu.training.driver import run  # noqa: E402
 
 
 def parse_args():

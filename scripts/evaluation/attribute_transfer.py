@@ -9,6 +9,10 @@ _sys.path.insert(0, _os.path.abspath(_os.path.join(
 
 import argparse
 
+from dvae_tpu.utils import apply_platform_override
+
+apply_platform_override()  # DVAE_PLATFORM=cpu|... before any backend init
+
 
 def parse_args():
     parser = argparse.ArgumentParser()
