@@ -5,6 +5,14 @@
 # reconstructions PPL (KN3 fallback; GPT-2 auto-activates when weights
 # are cached). MIG is produced separately by the sweep scripts.
 #
+# Idempotent: each stage is skipped when its artifact already exists, so
+# rerunning after a crash (e.g. a transient tunnel UNAVAILABLE) backfills
+# only the holes. Summaries are written via a temp file and moved into
+# place only on success -- a failed summarize must not leave an empty
+# file behind (that both hides the failure and confuses "what completed"
+# forensics). NB: only ONE process may use the TPU tunnel at a time;
+# don't launch this while another device job runs.
+#
 # Usage: five_variant_full_eval.sh [dataset]   (default: dev)
 set -u
 cd "$(dirname "$0")/../.."
@@ -12,6 +20,11 @@ ds=${1:-dev}
 base=logs/combined/sfu_amazon_100k
 data=data/combined/sfu_amazon_100k
 outroot=evaluation_results/five_variant_study
+
+summarize_to() {  # summarize_to <outfile> <cmd...>
+  local dst=$1; shift
+  if "$@" > "$dst.tmp"; then mv "$dst.tmp" "$dst"; else rm -f "$dst.tmp"; fi
+}
 
 for v in vae_inf vae_elbo vae_adv vae_mi "vae_adv+mi"; do
   cfg="$base/$v/config_epoch0.json"
@@ -21,21 +34,23 @@ for v in vae_inf vae_elbo vae_adv vae_mi "vae_adv+mi"; do
   [ -f "$out/self_bleus_${ds}.csv" ] || \
     python scripts/evaluation/consistency.py compute --num_resamples 10 \
       "$cfg" "$out" "$ds"
-  python scripts/evaluation/consistency.py summarize "$out" "$ds" \
-    > "$out/consistency_summary_${ds}.txt" || true
-  echo "==== $v controlled generation"
+  summarize_to "$out/consistency_summary_${ds}.txt" \
+    python scripts/evaluation/consistency.py summarize "$out" "$ds"
+  echo "==== $v controlled generation ($(date +%H:%M:%S))"
   [ -f "$out/controlled_${ds}.csv" ] || \
     python scripts/evaluation/controlled_generation.py compute \
       "$cfg" "$out/controlled_${ds}.csv" "$ds"
-  python scripts/evaluation/controlled_generation.py summarize \
-    "$out/controlled_${ds}.csv" > "$out/controlled_summary_${ds}.txt" || true
-  echo "==== $v attribute transfer"
+  summarize_to "$out/controlled_summary_${ds}.txt" \
+    python scripts/evaluation/controlled_generation.py summarize \
+      "$out/controlled_${ds}.csv"
+  echo "==== $v attribute transfer ($(date +%H:%M:%S))"
   [ -f "$out/transfer_${ds}.csv" ] || \
     python scripts/evaluation/attribute_transfer.py compute \
       "$cfg" "$out/transfer_${ds}.csv" "$ds"
-  python scripts/evaluation/attribute_transfer.py summarize \
-    "$out/transfer_${ds}.csv" > "$out/transfer_summary_${ds}.txt" || true
-  echo "==== $v perplexity"
+  summarize_to "$out/transfer_summary_${ds}.txt" \
+    python scripts/evaluation/attribute_transfer.py summarize \
+      "$out/transfer_${ds}.csv"
+  echo "==== $v perplexity ($(date +%H:%M:%S))"
   [ -f "$out/ppl_reconstructions.jsonl.ppl.json" ] || \
     python scripts/evaluation/compute_ppl.py "$cfg" "$data" \
       "$out/ppl_reconstructions.jsonl"
