@@ -72,7 +72,10 @@ def main():
         from dvae_tpu.utils import enable_compilation_cache
         enable_compilation_cache("auto")
     import jax
-    jax.config.update("jax_default_prng_impl", args.prng)
+    # "threefry" is the default impl but NOT a valid config value (JAX
+    # spells it "threefry2x32"), so mirror the driver: update only for rbg
+    if args.prng == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
     print(f"# dtype={args.dtype} prng={args.prng} "
           f"device={jax.devices()[0].device_kind}")
     for b in args.batches:

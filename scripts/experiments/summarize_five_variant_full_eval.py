@@ -57,43 +57,35 @@ def consistency_stats(vdir):
     return out
 
 
-def controlled_stats(vdir):
-    """Transfer-success and other-label-retention accuracy per latent."""
-    path = os.path.join(vdir, f"controlled_{DS}.csv")
+def _swap_stats(path, latent_key, got_key, want_key):
+    """Transfer-success and other-label-retention accuracy per latent,
+    shared by the controlled-generation and attribute-transfer JSONL
+    artifacts (same row shape, different key names)."""
     if not os.path.exists(path):
         return None
     hit = defaultdict(list)
     keep = defaultdict(list)
     for line in open(path):
         d = json.loads(line)
-        lat = d["transferred_latent"]
+        lat = d[latent_key]
         for lab, p in d["predictions"].items():
-            ok = float(p["output"] == p["target"])
+            ok = float(p[got_key] == p[want_key])
             (hit if lab == lat else keep)[lat].append(ok)
     return {lat: {"transfer_acc": float(np.mean(hit[lat])),
                   "retain_acc": (float(np.mean(keep[lat]))
                                  if keep[lat] else None),
                   "n": len(hit[lat])}
             for lat in sorted(hit)}
+
+
+def controlled_stats(vdir):
+    return _swap_stats(os.path.join(vdir, f"controlled_{DS}.csv"),
+                       "transferred_latent", "output", "target")
 
 
 def transfer_stats(vdir):
-    path = os.path.join(vdir, f"transfer_{DS}.csv")
-    if not os.path.exists(path):
-        return None
-    hit = defaultdict(list)
-    keep = defaultdict(list)
-    for line in open(path):
-        d = json.loads(line)
-        lat = d["latent"]
-        for lab, p in d["predictions"].items():
-            ok = float(p["pred"] == p["true"])
-            (hit if lab == lat else keep)[lat].append(ok)
-    return {lat: {"transfer_acc": float(np.mean(hit[lat])),
-                  "retain_acc": (float(np.mean(keep[lat]))
-                                 if keep[lat] else None),
-                  "n": len(hit[lat])}
-            for lat in sorted(hit)}
+    return _swap_stats(os.path.join(vdir, f"transfer_{DS}.csv"),
+                       "latent", "pred", "true")
 
 
 def length_regression_stats(vdir):
@@ -148,10 +140,13 @@ def main():
 
     lines += ["## Consistency (discriminator F1; reference "
               "consistency.py protocol)", ""]
-    hdr = "| variant | " + " | ".join(
-        f"{l} y~ŷ | {l} ŷ~ŷ′" for l in labels) + " | self-BLEU |"
-    lines += [hdr, "|" + "---|" * (2 * len(labels) + 2)]
-    for v in VARIANTS:
+    if not labels:
+        lines += ["(no consistency artifacts yet)", ""]
+    else:
+        hdr = "| variant | " + " | ".join(
+            f"{l} y~ŷ | {l} ŷ~ŷ′" for l in labels) + " | self-BLEU |"
+        lines += [hdr, "|" + "---|" * (2 * len(labels) + 2)]
+    for v in VARIANTS if labels else []:
         c = table[v]["consistency"]
         cells = []
         for l in labels:
@@ -173,6 +168,9 @@ def main():
         lines += ["", f"## {title}", ""]
         lats = sorted({lat for t in table.values()
                        if t[fam] for lat in t[fam]})
+        if not lats:
+            lines += [f"(no {fam} artifacts yet)"]
+            continue
         hdr = "| variant | " + " | ".join(
             f"{l} transfer | {l} retain" for l in lats) + " |"
         lines += [hdr, "|" + "---|" * (2 * len(lats) + 1)]

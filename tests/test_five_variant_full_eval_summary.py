@@ -95,3 +95,27 @@ def test_full_eval_summary(tmp_path, monkeypatch, capsys):
     assert "| vae_missing | -- | -- |" in md
     assert "| vae_x | 100.0 | 200.0 |" in md
     assert "| vae_x | 0.910 | 0.010 | -- |" in md  # no uncertainty row
+
+
+def test_no_artifacts_yields_wellformed_markdown(tmp_path, monkeypatch,
+                                                 capsys):
+    """With zero artifacts (e.g. a sweep crashed before any stage), the
+    markdown must not emit tables whose header/separator cell counts
+    disagree (which renderers refuse to draw)."""
+    mod = importlib.import_module(
+        "scripts.experiments.summarize_five_variant_full_eval")
+    out = tmp_path / "empty_study"
+    monkeypatch.setattr(mod, "OUTDIR", str(out))
+    monkeypatch.setattr(mod, "VARIANTS", ["vae_a"])
+    os.makedirs(out, exist_ok=True)
+
+    mod.main()
+
+    md = open(out / "full_eval_summary.md").read()
+    assert "(no consistency artifacts yet)" in md
+    assert "(no controlled_generation artifacts yet)" in md
+    for line in md.splitlines():
+        if line.startswith("|---"):
+            # the row above a separator is its header: cell counts match
+            hdr = md.splitlines()[md.splitlines().index(line) - 1]
+            assert hdr.count("|") == line.count("|")
