@@ -304,9 +304,14 @@ def compute_controlled_generation(params_file: str, outfile: str,
         lengths = jnp.asarray(batch.lengths)
         trg_texts = session.text(batch.X)
         for latent_name in cfg.dsc_names:
-            # binary-label flip, as in the reference (cg.py:79)
+            # target class: binary flip as in the reference (cg.py:79);
+            # multi-class labels (the reference never had any, but CE
+            # heads support them) cycle to (y+1) % n_classes so every
+            # row still targets a class different from its own
             ys = batch.labels[latent_name]
-            opposite = np.abs(ys - 1).astype(int)
+            n_cls = codecs[latent_name].num_classes
+            opposite = (np.abs(ys - 1) if n_cls == 2
+                        else (ys + 1) % n_cls).astype(int)
             opp_z = np.stack([mean_zs[latent_name][int(y)]
                               for y in opposite]).astype(np.float32)
             prog = session.transfer_program(latent_name, from_source=False)
@@ -356,7 +361,9 @@ def summarize_controlled_generation(outfile: str) -> None:
         for label_type, pairs in by_label.items():
             y = np.array([p[0] for p in pairs])
             y_hat = np.array([p[1] for p in pairs])
-            classes = sorted(set(y) | set(y_hat))[:2]
+            # reference prints two rows (its labels were all binary);
+            # multi-class labels get one row per class
+            classes = sorted(set(y) | set(y_hat))
             accs = []
             for cl in classes:
                 idxs = np.where(y == cl)
