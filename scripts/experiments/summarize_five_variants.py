@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.abspath(os.path.join(
 import numpy as np
 
 VARIANTS = ["vae_inf", "vae_elbo", "vae_adv", "vae_mi", "vae_adv+mi"]
+# Defaults reproduce the flagship study; --base/--outdir/--seeds point
+# the same aggregation at another corpus (e.g. the dSentences study).
 SEED_SUFFIXES = ["", "_s20", "_s30"]  # "" = each config's shipped seed
 BASE = "logs/combined/sfu_amazon_100k"
 OUTDIR = "evaluation_results/five_variant_study"
@@ -39,7 +41,17 @@ def _accumulate(path, per_label):
                 e["aligned"] += 1
 
 
-def main():
+def main(argv=None):
+    global BASE, OUTDIR, SEED_SUFFIXES
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=BASE)
+    ap.add_argument("--outdir", default=OUTDIR)
+    ap.add_argument("--seeds", nargs="*", default=SEED_SUFFIXES,
+                    help='seed dir suffixes; "" = the shipped seed')
+    args = ap.parse_args(argv)
+    BASE, OUTDIR, SEED_SUFFIXES = args.base, args.outdir, args.seeds
+
     os.makedirs(OUTDIR, exist_ok=True)
     files = [f"{BASE}/{v}/evaluation/MIGS_dev.jsonl" for v in VARIANTS]
     missing = [f for f in files if not os.path.exists(f)]

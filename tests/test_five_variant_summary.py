@@ -41,7 +41,7 @@ def test_multi_seed_pooling(tmp_path, monkeypatch):
     _write_migs(f"{base}/vae_b/evaluation/MIGS_dev.jsonl",
                 [(0.2, "content"), (0.4, "content")])
 
-    mod.main()
+    mod.main([])  # no CLI args: the monkeypatched globals are the defaults
 
     got = json.load(open(out / "five_variant_migs.json"))
     a = got["pooled"]["vae_a"]["polarity"]
