@@ -48,7 +48,8 @@ def main():
     from dvae_tpu.utils import apply_platform_override
     plat = apply_platform_override()  # DVAE_PLATFORM=... before backend init
     degraded = None
-    if plat is None and not _device_available():
+    skip_probe = os.environ.get("DVAE_SKIP_PROBE", "") not in ("", "0")
+    if plat is None and not skip_probe and not _device_available():
         # No explicit platform override and the accelerator is unreachable:
         # fall back to the host CPU (honestly labeled, reduced rep count)
         # rather than hanging or crashing with no benchmark line at all.
@@ -122,27 +123,14 @@ def main():
     # Headline: the PRODUCTION path. The driver defaults to fused_epoch
     # (one lax.scan device program over the epoch's stacked batches), so
     # per-step host dispatch -- ~2 ms/step of tunnel overhead in the loop
-    # above -- does not exist in real training. Time S scanned steps.
-    from dvae_tpu.parallel import stack_batches
-    from dvae_tpu.training import make_train_epoch
+    # above -- does not exist in real training. Time S scanned steps via
+    # the shared harness (same methodology as benchmarks/width_scaling.py).
+    from benchmarks.fused_epoch_timing import time_fused_epoch
     S = 16 if degraded else 64
-    # one device upload up front: the timed loop reuses resident arrays
-    stacked = jax.tree.map(jnp.asarray, stack_batches([batch_np] * S))
-    klw_seq = jnp.stack([klw] * S)
-    epoch_fn = jax.jit(make_train_epoch(cfg, constants, 3e-4),
-                       donate_argnums=(0,))
-    state, emetrics, _, _ = epoch_fn(state, stacked, klw_seq, tf, miw)
-    float(emetrics["total_loss"][-1])          # compile + warm
-    etimes = []
-    for _ in range(2 if degraded else 4):
-        t0 = time.time()
-        state, emetrics, _, _ = epoch_fn(state, stacked, klw_seq, tf, miw)
-        float(emetrics["total_loss"][-1])      # host fetch barrier
-        etimes.append((time.time() - t0) / S)
-    etimes = sorted(etimes[1:])
-    sec_per_step = etimes[len(etimes) // 2]
+    timing = time_fused_epoch(cfg, B, S, reps=2 if degraded else 4)
+    sec_per_step = timing["sec_per_step"]
 
-    tokens_per_batch = int(batch_np["lengths"].sum())
+    tokens_per_batch = timing["tokens_per_batch"]
     n_chips = jax.device_count()
     tokens_per_sec_per_chip = tokens_per_batch / sec_per_step / n_chips
 
@@ -175,8 +163,13 @@ def main():
             base = json.load(f)
         vs_baseline = base["torch_cpu_seconds_per_step"] / sec_per_step
 
+    # A degraded (CPU-fallback) run gets a DIFFERENT metric name so trend
+    # tracking over the normal metric can never ingest a ~1000x-lower CPU
+    # number as chip throughput; the flag is also surfaced top-level.
     print(json.dumps({
-        "metric": "train_step_tokens_per_sec_per_chip",
+        "metric": ("train_step_tokens_per_sec_per_chip" if not degraded
+                   else "train_step_tokens_per_sec_CPU_FALLBACK"),
+        "degraded": bool(degraded),
         "value": round(tokens_per_sec_per_chip, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": (round(vs_baseline, 2)

@@ -5,9 +5,12 @@
 # corpus, evaluation_results/five_variant_study/). Trains each variant
 # from configs/dsentences/*.json (vae_adv+mi may already exist from the
 # initial study), then dev MIG at the paper's 30-resample protocol.
-# Idempotent: completed trainings and MIG files are skipped, so the
-# sweep resumes cleanly. One device job at a time (the serialized-queue
-# rule in .claude/skills/verify): run this alone.
+# Idempotent: completed trainings and MIG files are skipped; PARTIAL
+# trainings are WIPED, not resumed (the driver trains `epochs` MORE
+# from a restored checkpoint -- reference resume semantics -- which
+# would yield an over-trained model incomparable to the rest of the
+# sweep). One device job at a time (the serialized-queue rule in
+# .claude/skills/verify): run this alone.
 set -e
 cd "$(dirname "$0")/../.."
 VARIANTS="vae_inf vae_elbo vae_adv vae_mi vae_adv+mi"
@@ -16,6 +19,11 @@ for v in $VARIANTS; do
   if [ -f "$log" ] && grep -q "DEV (19)" "$log"; then
     echo "==== $v already trained, skipping ===="
   else
+    if [ -d "logs/dsentences/$v" ]; then
+      echo "==== $v partial state -- wiping for a clean run ===="
+      rm -rf "logs/dsentences/$v" "model_checkpoints/dsentences/$v" \
+             "runs/dsentences/$v"
+    fi
     echo "==== train $v ===="
     python run.py "configs/dsentences/$v.json"
   fi

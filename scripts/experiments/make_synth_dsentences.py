@@ -91,7 +91,8 @@ def subject_pronoun(nr_person, subj_sing_pl, gender):
     return "they"
 
 
-def _be_form(tense, third_sg, first_sg, plural_or_2nd):
+def _be_form(tense, third_sg, first_sg):
+    # plural/2nd person is the implicit else-branch of both tenses
     if tense == PRESENT:
         if first_sg:
             return "am"
@@ -113,7 +114,7 @@ def realize(tup, obj_pl, sent_type, gender, subj_pl, person, neg,
     not_ = ["", "not"][neg]
 
     if style == 1:  # progressive: BE (+not) + V-ing + OBJ
-        be = _be_form(tense, third_sg, first_sg, not (third_sg or first_sg))
+        be = _be_form(tense, third_sg, first_sg)
         be_toks = be.split()
         if sent_type == 1:  # invert the (first) auxiliary
             toks = [be_toks[0], subj, not_] + be_toks[1:] + [ing, obj]

@@ -11,6 +11,13 @@
 # bounded (ENOSPC lesson, ROUND3.md sect. 12). One device job at a
 # time (serialized-queue rule, .claude/skills/verify).
 #
+# Run/checkpoint dirs are derived from each config's "name" key (the
+# driver's own layout: logs/<name>, model_checkpoints/<name>,
+# runs/<name>) -- LOG_BASE is kept for the call signature and sanity-
+# checked against the derived path rather than string-stripped, so a
+# non-canonical LOG_BASE (e.g. ./logs/x) cannot leave stale
+# checkpoints behind for the driver to silently resume.
+#
 # Usage: seed_sweep.sh CONFIG_DIR LOG_BASE DATA_DIR SEED [SEED...]
 # e.g.:  seed_sweep.sh configs/dsentences logs/dsentences \
 #            data/processed/synth_dsentences 20 30
@@ -22,29 +29,38 @@ if [ $# -lt 4 ]; then
 fi
 cfgdir=$1 logbase=$2 datadir=$3
 shift 3
+
+name_of() { python -c "import json,sys; print(json.load(open(sys.argv[1]))['name'])" "$1"; }
+last_epoch_of() { python -c "import json,sys; print(json.load(open(sys.argv[1]))['epochs'] - 1)" "$1"; }
+
 for seed in "$@"; do
   for v in vae_inf vae_elbo vae_adv vae_mi "vae_adv+mi"; do
-    migs="${logbase}/${v}_s${seed}/evaluation/MIGS_dev.jsonl"
+    src="$cfgdir/$v.json"
+    name="$(name_of "$src")_s${seed}"
+    last=$(last_epoch_of "$src")
+    if [ "logs/$name" != "${logbase%/}/${v}_s${seed}" ]; then
+      echo "note: config name puts the run at logs/$name" \
+           "(LOG_BASE $logbase is ignored for paths)"
+    fi
+    migs="logs/$name/evaluation/MIGS_dev.jsonl"
     have=$([ -f "$migs" ] && wc -l < "$migs" || echo 0)
     if [ "$have" -ge 30 ]; then
       echo "==== skip ${v} s${seed} ($have MIG draws done)"; continue
     fi
-    log="${logbase}/${v}_s${seed}/run.log"
-    if [ -f "$log" ] && grep -q "DEV (19)" "$log"; then
+    log="logs/$name/run.log"
+    if [ -f "$log" ] && grep -q "DEV ($last)" "$log"; then
       echo "==== ${v} s${seed} already trained"
     else
       # Wipe partial state rather than resume: the driver trains
       # `epochs` MORE from a restored checkpoint (reference resume
-      # semantics), which would yield a >20-epoch model incomparable
-      # to the rest of the sweep.
-      if [ -d "${logbase}/${v}_s${seed}" ]; then
+      # semantics), which would yield an over-trained model
+      # incomparable to the rest of the sweep.
+      if [ -d "logs/$name" ] || [ -d "model_checkpoints/$name" ]; then
         echo "==== ${v} s${seed} partial state -- wiping for a clean run"
-        rm -rf "${logbase}/${v}_s${seed}" \
-               "model_checkpoints/${logbase#logs/}/${v}_s${seed}" \
-               "runs/${logbase#logs/}/${v}_s${seed}"
+        rm -rf "logs/$name" "model_checkpoints/$name" "runs/$name"
       fi
       cfg=$(mktemp /tmp/ss_XXXX.json)
-      python - "$cfgdir/$v.json" "$seed" "$cfg" <<'PYEOF'
+      python - "$src" "$seed" "$cfg" <<'PYEOF'
 import json, sys
 src, seed, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 c = json.load(open(src))
@@ -62,8 +78,8 @@ PYEOF
     echo "==== MIG ${v} s${seed} ($(date +%H:%M:%S), $have -> 30) ===="
     python scripts/evaluation/disentanglement.py compute \
       --num_resamples $((30 - have)) \
-      "${logbase}/${v}_s${seed}/metadata" "$datadir" dev \
-      "${logbase}/${v}_s${seed}/evaluation/"
+      "logs/$name/metadata" "$datadir" dev \
+      "logs/$name/evaluation/"
   done
 done
 echo "SEED SWEEP ALL DONE"

@@ -53,14 +53,21 @@ def main(argv=None):
     BASE, OUTDIR, SEED_SUFFIXES = args.base, args.outdir, args.seeds
 
     os.makedirs(OUTDIR, exist_ok=True)
-    files = [f"{BASE}/{v}/evaluation/MIGS_dev.jsonl" for v in VARIANTS]
-    missing = [f for f in files if not os.path.exists(f)]
+    # guard the REQUESTED seed suffixes, not the bare base paths: a
+    # seed-only invocation (--seeds _s20 _s30) must not demand the
+    # unseeded dirs, and a base-only layout must not satisfy a seed run
+    missing = [v for v in VARIANTS
+               if not any(os.path.exists(
+                   f"{BASE}/{v}{suf}/evaluation/MIGS_dev.jsonl")
+                   for suf in SEED_SUFFIXES)]
     if missing:
-        raise SystemExit(f"missing MIG files: {missing}")
+        raise SystemExit(
+            f"no MIG files for variants {missing} under {BASE} "
+            f"(seed suffixes {SEED_SUFFIXES})")
 
     table = {}
     seed_table = {}
-    for v, path in zip(VARIANTS, files):
+    for v in VARIANTS:
         # seed-pooled aggregate: every (seed x resample) MIG draw
         per_label = {}
         seeds_used = []
