@@ -57,3 +57,31 @@ def test_multi_seed_pooling(tmp_path, monkeypatch):
         got["by_seed"]["vae_a"]["per_seed_mig_means"]["polarity"],
         [0.2, 0.6])
     assert (out / "five_variant_migs.png").exists()
+
+
+def test_guard_checks_requested_seeds_only(tmp_path, monkeypatch):
+    """Regression: a seed-only invocation (--seeds _s20) must not demand
+    the unseeded base dirs, and a variant with NO file under any
+    requested suffix must abort with the variant named."""
+    import pytest
+
+    mod = importlib.import_module(
+        "scripts.experiments.summarize_five_variants")
+    base = tmp_path / "logs"
+    out = tmp_path / "out"
+    monkeypatch.setattr(mod, "VARIANTS", ["vae_a", "vae_b"])
+
+    # only seed dirs exist -- no base-seed files anywhere
+    _write_migs(f"{base}/vae_a_s20/evaluation/MIGS_dev.jsonl",
+                [(0.5, "polarity")])
+    _write_migs(f"{base}/vae_b_s20/evaluation/MIGS_dev.jsonl",
+                [(0.2, "content")])
+    mod.main(["--base", str(base), "--outdir", str(out),
+              "--seeds", "_s20"])
+    got = json.load(open(out / "five_variant_migs.json"))
+    assert got["pooled"]["vae_a"]["polarity"]["n"] == 1
+
+    # vae_b has no file under the requested suffix -> named abort
+    with pytest.raises(SystemExit, match="vae_b"):
+        mod.main(["--base", str(base), "--outdir", str(out),
+                  "--seeds", "_s30"])
