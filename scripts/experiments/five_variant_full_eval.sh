@@ -1,58 +1,9 @@
 #!/usr/bin/env bash
 # Full paper-style evaluation suite over the five flagship loss-ablation
-# variants (reference README.md:61-113 protocol): consistency/self-BLEU,
-# controlled generation, attribute transfer, and originals-vs-
-# reconstructions PPL (KN3 fallback; GPT-2 auto-activates when weights
-# are cached). MIG is produced separately by the sweep scripts.
-#
-# Idempotent: each stage is skipped when its artifact already exists, so
-# rerunning after a crash (e.g. a transient tunnel UNAVAILABLE) backfills
-# only the holes. Summaries are written via a temp file and moved into
-# place only on success -- a failed summarize must not leave an empty
-# file behind (that both hides the failure and confuses "what completed"
-# forensics). NB: only ONE process may use the TPU tunnel at a time;
-# don't launch this while another device job runs.
+# variants. Thin delegator -- the shared stage logic lives in
+# full_eval.sh (one copy; it used to be duplicated per corpus).
 #
 # Usage: five_variant_full_eval.sh [dataset]   (default: dev)
-set -u
-cd "$(dirname "$0")/../.."
-ds=${1:-dev}
-base=logs/combined/sfu_amazon_100k
-data=data/combined/sfu_amazon_100k
-outroot=evaluation_results/five_variant_study
-
-summarize_to() {  # summarize_to <outfile> <cmd...>
-  local dst=$1; shift
-  if "$@" > "$dst.tmp"; then mv "$dst.tmp" "$dst"; else rm -f "$dst.tmp"; fi
-}
-
-for v in vae_inf vae_elbo vae_adv vae_mi "vae_adv+mi"; do
-  cfg="$base/$v/config_epoch0.json"
-  out="$outroot/$v"
-  mkdir -p "$out"
-  echo "==== $v consistency ($(date +%H:%M:%S))"
-  [ -f "$out/self_bleus_${ds}.csv" ] || \
-    python scripts/evaluation/consistency.py compute --num_resamples 10 \
-      "$cfg" "$out" "$ds"
-  summarize_to "$out/consistency_summary_${ds}.txt" \
-    python scripts/evaluation/consistency.py summarize "$out" "$ds"
-  echo "==== $v controlled generation ($(date +%H:%M:%S))"
-  [ -f "$out/controlled_${ds}.csv" ] || \
-    python scripts/evaluation/controlled_generation.py compute \
-      "$cfg" "$out/controlled_${ds}.csv" "$ds"
-  summarize_to "$out/controlled_summary_${ds}.txt" \
-    python scripts/evaluation/controlled_generation.py summarize \
-      "$out/controlled_${ds}.csv"
-  echo "==== $v attribute transfer ($(date +%H:%M:%S))"
-  [ -f "$out/transfer_${ds}.csv" ] || \
-    python scripts/evaluation/attribute_transfer.py compute \
-      "$cfg" "$out/transfer_${ds}.csv" "$ds"
-  summarize_to "$out/transfer_summary_${ds}.txt" \
-    python scripts/evaluation/attribute_transfer.py summarize \
-      "$out/transfer_${ds}.csv"
-  echo "==== $v perplexity ($(date +%H:%M:%S))"
-  [ -f "$out/ppl_reconstructions.jsonl.ppl.json" ] || \
-    python scripts/evaluation/compute_ppl.py "$cfg" "$data" \
-      "$out/ppl_reconstructions.jsonl"
-done
-echo "FULL EVAL DONE"
+exec bash "$(dirname "$0")/full_eval.sh" \
+  logs/combined/sfu_amazon_100k data/combined/sfu_amazon_100k \
+  evaluation_results/five_variant_study "${1:-dev}"
