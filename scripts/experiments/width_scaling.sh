@@ -22,12 +22,17 @@ run_point() {  # run_point H B [extra...]
     echo "POINT FAILED: H=$1 B=$2 ${3:-}"
   fi
 }
-run_point 256 128
-run_point 256 512
-run_point 512 128
-run_point 512 512
-run_point 1024 128
-run_point 1024 512
-run_point 2048 256
-run_point 1024 512 --f32
+# two passes: completed points are skipped, so the second pass only
+# retries failures -- a big-H point that timed out mid-compile usually
+# succeeds on retry because the persistent XLA cache kept the pieces
+for pass in 1 2; do
+  run_point 256 128
+  run_point 256 512
+  run_point 512 128
+  run_point 512 512
+  run_point 1024 128
+  run_point 1024 512
+  run_point 2048 256
+  run_point 1024 512 --f32
+done
 echo "WIDTH SCALING DONE"
