@@ -28,6 +28,8 @@ from collections import defaultdict
 sys.path.insert(0, os.path.abspath(os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "..")))
 
+import argparse
+
 import numpy as np
 
 VARIANTS = ["vae_inf", "vae_elbo", "vae_adv", "vae_mi", "vae_adv+mi"]
@@ -120,7 +122,18 @@ def fmt(x, pat="{:.3f}"):
     return "--" if x is None else pat.format(x)
 
 
-def main():
+def main(argv=()):
+    # argv defaults to () (not sys.argv) so tests that monkeypatch the
+    # module globals can call main() directly.
+    global OUTDIR, DS
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--outdir", default=OUTDIR,
+                    help="study directory holding the per-variant "
+                         "artifact subdirectories (summary written here)")
+    ap.add_argument("--dataset", default=DS)
+    args = ap.parse_args(argv)
+    OUTDIR, DS = args.outdir, args.dataset
+
     table = {}
     for v in VARIANTS:
         vdir = os.path.join(OUTDIR, v)
@@ -194,7 +207,8 @@ def main():
             f"| {v} | {fmt(p and p['dev_original'], '{:.1f}')} | "
             f"{fmt(p and p['dev_reconstruction'], '{:.1f}')} |")
 
-    lr_keys = ["content", "polarity", "uncertainty"]
+    lr_keys = sorted({k for v in VARIANTS
+                      for k in (table[v]["length_regression"] or {})})
     if any(table[v]["length_regression"] for v in VARIANTS):
         lines += ["", "## Latent -> n_tokens regression (R^2; paper "
                   "Table 12 protocol)", "",
@@ -212,4 +226,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(sys.argv[1:])

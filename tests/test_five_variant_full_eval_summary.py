@@ -94,7 +94,10 @@ def test_full_eval_summary(tmp_path, monkeypatch, capsys):
     assert "| vae_x | 0.500 | 0.900 |" in md
     assert "| vae_missing | -- | -- |" in md
     assert "| vae_x | 100.0 | 200.0 |" in md
-    assert "| vae_x | 0.910 | 0.010 | -- |" in md  # no uncertainty row
+    # R^2 columns are derived from the measured combinations (sorted):
+    # content, content+polarity, polarity — no phantom uncertainty column.
+    assert "| variant | content | content+polarity | polarity |" in md
+    assert "| vae_x | 0.910 | 0.920 | 0.010 |" in md
 
 
 def test_no_artifacts_yields_wellformed_markdown(tmp_path, monkeypatch,
