@@ -14,11 +14,17 @@ dispatch loop.
 import time
 
 
-def time_fused_epoch(cfg, B, S, reps=4, seed=0, lr=3e-4):
+def time_fused_epoch(cfg, B, S, reps=4, seed=0, lr=3e-4,
+                     collect_latents=False, unroll=1):
     """Build a synthetic-batch training setup for `cfg` and time the
     fused-epoch program. Returns a dict with the median sec/step, the
     raw per-rep numbers, the first-call (compile+warm) seconds, the
     final-step loss (host-fetch barrier value), and tokens/batch.
+
+    collect_latents=False (default) times the steady-state production
+    program: every study config sets keep_latent_epochs, so all but the
+    final K epochs run without latent scan outputs (driver.py). Pass
+    True to time the latent-collecting final-epoch variant.
     """
     import jax
     import jax.numpy as jnp
@@ -39,17 +45,19 @@ def time_fused_epoch(cfg, B, S, reps=4, seed=0, lr=3e-4):
 
     # one device upload up front: the timed loop reuses resident arrays
     stacked = jax.tree.map(jnp.asarray, stack_batches([batch_np] * S))
-    epoch_fn = jax.jit(make_train_epoch(cfg, constants, lr),
+    epoch_fn = jax.jit(make_train_epoch(cfg, constants, lr,
+                                        collect_latents=collect_latents,
+                                        unroll=unroll),
                        donate_argnums=(0,))
     t0 = time.time()
-    state, em, _, _ = epoch_fn(state, stacked, klw_seq, tf, miw)
+    state, em, _ = epoch_fn(state, stacked, klw_seq, tf, miw)
     loss = float(em["total_loss"][-1])          # compile + warm
     first_call_s = time.time() - t0
 
     times = []
     for _ in range(reps):
         t0 = time.time()
-        state, em, _, _ = epoch_fn(state, stacked, klw_seq, tf, miw)
+        state, em, _ = epoch_fn(state, stacked, klw_seq, tf, miw)
         loss = float(em["total_loss"][-1])      # host fetch barrier
         times.append((time.time() - t0) / S)
     times = sorted(times[1:])

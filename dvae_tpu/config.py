@@ -168,6 +168,11 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # epoch's stacked batches). Per-step host dispatch dominates epoch
     # wall-clock otherwise (~100x the compute at this model scale).
     "fused_epoch": (bool, True),
+    # lax.scan unroll factor for the fused-epoch step loop (identical
+    # math): >1 replicates the fused step body to amortize per-iteration
+    # scan overhead, trading compile time. Measured round 4 on the
+    # fused-epoch census before changing the default.
+    "epoch_scan_unroll": (int, 1),
     # Compute the (host-side) self-BLEU metric every Nth train step.
     # 1 = reference behavior (every step). On slow hosts BLEU is a
     # meaningful share of epoch wall-clock; eval epochs always compute it.

@@ -72,11 +72,26 @@ def get_labels(data_dir: str, dataset: str,
 
 def sample_from_latent(mus: np.ndarray, logvars: np.ndarray,
                        rng: np.random.Generator = None) -> np.ndarray:
-    """z ~ Normal(mu, scale=exp(logvar)) -- the model's convention."""
+    """Resample z from logged (mu, logvar), reproducing the reference
+    evaluators' DIMENSION-DEPENDENT convention exactly
+    (disentanglement.py:226-235, invariance.py:205-212, plot_zs.py):
+
+      1-D latent:    D.Normal(mu, logvar.exp())            -> SCALE
+                     = exp(logvar)  (model quirk #2's convention)
+      multi-dim:     D.MultivariateNormal(mu,
+                     diag(logvar.exp()))                   -> COVARIANCE
+                     = exp(logvar), i.e. scale = exp(logvar / 2)
+
+    The two conventions disagree (found round 4 as the root cause of the
+    content-MI crosscheck discrepancy: with trained logvars < 0 a uniform
+    scale=exp(logvar) under-disperses multi-dim content z, inflating its
+    MI by ~0.03 nats); parity with the reference's numbers requires
+    matching both branches, quirk included."""
     if rng is None:
         rng = np.random.default_rng()
     mus = np.asarray(mus, np.float32)
-    scales = np.exp(np.asarray(logvars, np.float32))
+    lvs = np.asarray(logvars, np.float32)
+    scales = np.exp(lvs) if mus.ndim == 1 else np.exp(0.5 * lvs)
     return rng.normal(mus, scales).astype(np.float32)
 
 

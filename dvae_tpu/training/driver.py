@@ -326,12 +326,43 @@ def run(params_file: str, verbose: bool = False) -> None:
                                          params["learn_rate"],
                                          flat=flat_opt),
                          donate_argnums=(0,))
-    train_epoch = jax.jit(make_train_epoch(cfg, exp.constants,
-                                           params["learn_rate"],
-                                           flat=flat_opt),
-                          donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(cfg, exp.constants))
-    eval_epoch = jax.jit(make_eval_epoch(cfg, exp.constants))
+
+    # Epoch programs come in a lean (metrics-only) and a full
+    # (metrics+latents) variant: epochs whose latent metadata
+    # `keep_latent_epochs` would immediately prune run the lean program
+    # and skip the [S, B, dim] latent stacking + DMA entirely. Each
+    # variant is jitted lazily so a run that never needs one never
+    # compiles it.
+    epoch_unroll = max(1, params.get("epoch_scan_unroll", 1))
+    _train_epochs: Dict[bool, Any] = {}
+    _eval_epochs: Dict[bool, Any] = {}
+
+    def train_epoch_fn(collect_latents: bool):
+        if collect_latents not in _train_epochs:
+            _train_epochs[collect_latents] = jax.jit(
+                make_train_epoch(cfg, exp.constants, params["learn_rate"],
+                                 flat=flat_opt,
+                                 collect_latents=collect_latents,
+                                 unroll=epoch_unroll),
+                donate_argnums=(0,))
+        return _train_epochs[collect_latents]
+
+    def eval_epoch_fn(collect_latents: bool):
+        if collect_latents not in _eval_epochs:
+            _eval_epochs[collect_latents] = jax.jit(
+                make_eval_epoch(cfg, exp.constants,
+                                collect_latents=collect_latents))
+        return _eval_epochs[collect_latents]
+
+    def _latents_kept(epoch: int, last_epoch: int) -> bool:
+        """Will this epoch's latent-metadata files survive pruning? With
+        keep_latent_epochs=K the final write prunes epochs <= last - K, so
+        only the last K epochs are worth materializing. An unknown
+        last_epoch (-1) conservatively collects."""
+        return (keep_latents == 0 or last_epoch < 0
+                or epoch > last_epoch - keep_latents)
+
     recon_fns = {}
 
     def recon_fn(train_mode: bool):
@@ -451,13 +482,15 @@ def run(params_file: str, verbose: bool = False) -> None:
             pipeline, epoch, steps_per_epoch, total_steps, last_epoch)
         S = len(host_batches)
         phases.append(("collate+upload", time.time()))
-        state, metrics_seq, latents_seq, preds_seq = train_epoch(
+        # epochs whose metadata would be pruned run the lean program:
+        # no latent scan outputs, no DMA (predictions are never an epoch
+        # output at all -- BLEU comes from the 10-int per-step sufficient
+        # statistics in metrics, ops/device_bleu.py)
+        want_latents = _latents_kept(epoch, last_epoch)
+        state, metrics_seq, latents_seq = train_epoch_fn(want_latents)(
             state, dev, jnp.asarray(klw_seq),
             jnp.asarray(params["teacher_forcing_prob"]),
             jnp.asarray(params["mi_loss_weight_train"]))
-        # predictions stay on device: BLEU comes from the 10-int per-step
-        # sufficient statistics in metrics (ops/device_bleu.py), so the
-        # [S, B, T] preds tensor is never transferred
         jax.block_until_ready(metrics_seq["total_loss"])
         phases.append(("compute", time.time()))
         # metrics first: they are tiny and on the critical path, and the
@@ -467,7 +500,8 @@ def run(params_file: str, verbose: bool = False) -> None:
         phases.append(("metrics_fetch", time.time()))
         # now start the latents DMA; the background metadata thread
         # materializes it off the critical path
-        jax.tree.map(lambda a: a.copy_to_host_async(), latents_seq)
+        if want_latents:
+            jax.tree.map(lambda a: a.copy_to_host_async(), latents_seq)
 
         masks = [b.example_mask for b in host_batches]
         ids_all = [i for b in host_batches for i in b.ids]
@@ -486,8 +520,9 @@ def run(params_file: str, verbose: bool = False) -> None:
         _epoch_host_logging(loss_logger, collected, step0)
         loss_logger.log_epoch()
         phases.append(("scalar_log", time.time()))
-        log_latents_async(latents_seq, masks, ids_all, exp.logdir, "train",
-                          epoch, keep_epochs=keep_latents)
+        if want_latents:
+            log_latents_async(latents_seq, masks, ids_all, exp.logdir,
+                              "train", epoch, keep_epochs=keep_latents)
         phases.append(("metadata_dispatch", time.time()))
         if params.get("log_epoch_phases"):
             spans = ", ".join(
@@ -562,7 +597,8 @@ def run(params_file: str, verbose: bool = False) -> None:
             extra=f" | Epoch time: {dt}"))
         return state
 
-    def evalstep_epoch(state, epoch: int, name: str = "dev"):
+    def evalstep_epoch(state, epoch: int, name: str = "dev",
+                       want_latents: bool = True):
         from dvae_tpu.parallel import shard_stacked_batch, stack_batches
         loss_logger = LossLogger(writer(name), epoch)
         pipeline = exp.eval_pipeline(name)
@@ -571,12 +607,13 @@ def run(params_file: str, verbose: bool = False) -> None:
         klw = kl_weight_vector(cfg, params["lambdas"], 1.0)  # run.py:373-376
         stacked = stack_batches(host_batches)
         dev = shard_stacked_batch(exp.plan, stacked)
-        metrics_seq, latents_seq, preds_seq = eval_epoch(
+        metrics_seq, latents_seq = eval_epoch_fn(want_latents)(
             state, dev, jnp.asarray(klw),
             jnp.asarray(params["mi_loss_weight_eval"]),
             jnp.arange(S))
         metrics_seq = jax.device_get(metrics_seq)
-        jax.tree.map(lambda a: a.copy_to_host_async(), latents_seq)
+        if want_latents:
+            jax.tree.map(lambda a: a.copy_to_host_async(), latents_seq)
         masks = [b.example_mask for b in host_batches]
         ids_all = [i for b in host_batches for i in b.ids]
         for i in range(S):
@@ -584,11 +621,34 @@ def run(params_file: str, verbose: bool = False) -> None:
             m["bleu"] = bleu_from_counts(m.pop("bleu_counts"))
             loss_logger.update(m)
         loss_logger.log_epoch()
-        log_latents_async(latents_seq, masks, ids_all, exp.logdir, name,
-                          epoch, keep_epochs=keep_latents)
+        if want_latents:
+            log_latents_async(latents_seq, masks, ids_all, exp.logdir, name,
+                              epoch, keep_epochs=keep_latents)
         logging.info(_summary_line(
             name.upper(), epoch, loss_logger, cfg.adversarial_loss,
             cfg.mi_loss))
+
+    def log_latents_snapshot(state, epoch: int, name: str):
+        """Latents-only pass over a split (no loss logging): used after an
+        interrupt when the lean fused epochs skipped this run's train
+        latent metadata, so the offline eval suite (model_evals.py,
+        plot_zs) still finds a final-epoch snapshot. Latents come from an
+        eval-mode forward of the restored model rather than the
+        during-training per-step params the uninterrupted path logs."""
+        from dvae_tpu.parallel import shard_stacked_batch, stack_batches
+        pipeline = exp.eval_pipeline(name)
+        host_batches = list(pipeline.epoch())
+        S = len(host_batches)
+        klw = kl_weight_vector(cfg, params["lambdas"], 1.0)
+        dev = shard_stacked_batch(exp.plan, stack_batches(host_batches))
+        _, latents_seq = eval_epoch_fn(True)(
+            state, dev, jnp.asarray(klw),
+            jnp.asarray(params["mi_loss_weight_eval"]), jnp.arange(S))
+        jax.tree.map(lambda a: a.copy_to_host_async(), latents_seq)
+        masks = [b.example_mask for b in host_batches]
+        ids_all = [i for b in host_batches for i in b.ids]
+        log_latents_async(latents_seq, masks, ids_all, exp.logdir, name,
+                          epoch, keep_epochs=keep_latents)
 
     # ---------------- main loop (reference run.py:598-651) ----------------
     if params["train"]:
@@ -611,7 +671,9 @@ def run(params_file: str, verbose: bool = False) -> None:
                 log_reconstructions(state, "train", epoch, n=20,
                                     train_mode=True)
                 if params["validate"] and "dev" in exp.datasets:
-                    evalstep_epoch(state, epoch, "dev")
+                    evalstep_epoch(state, epoch, "dev",
+                                   want_latents=_latents_kept(epoch,
+                                                              last_epoch))
                     log_reconstructions(state, "dev", epoch, n=20,
                                         train_mode=False)
                 if (epoch - first_epoch) % ckpt_every == 0 \
@@ -640,6 +702,13 @@ def run(params_file: str, verbose: bool = False) -> None:
                     logging.warning(
                         "Interrupt landed inside the jitted epoch; "
                         f"restored checkpoint {name!r} for final evals.")
+                if keep_latents > 0 and not _latents_kept(start_epoch,
+                                                          last_epoch):
+                    # the lean epochs skipped this run's train latents;
+                    # leave a final-model snapshot for the offline suite
+                    logging.info("Logging post-interrupt train-latent "
+                                 f"snapshot at epoch {start_epoch}")
+                    log_latents_snapshot(state, start_epoch, "train")
                 break
 
     if params["validate"] and "dev" in exp.datasets:

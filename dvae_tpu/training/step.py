@@ -300,20 +300,37 @@ def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float,
 
 
 def make_train_epoch(cfg: ModelConfig, constants: Dict, learn_rate: float,
-                     flat: bool = False):
+                     flat: bool = False, collect_latents: bool = True,
+                     unroll: int = 1):
     """Whole-epoch fusion: ONE device program per epoch.
 
     The per-step fused train step is ~1 ms of compute, so a Python loop
     over steps is dominated by host dispatch (measured ~100x the compute
     on this host). This wraps the identical train step in a `lax.scan`
     over the epoch's stacked batches: the host uploads the epoch's data
-    once ([S, B, ...] arrays, a few MB) and receives per-step metrics/
-    latents/predictions stacked on a leading step axis.
+    once ([S, B, ...] arrays, a few MB) and receives per-step metrics
+    stacked on a leading step axis.
+
+    Token predictions are NEVER a scan output: nothing downstream reads
+    them (BLEU comes from the 10-int on-device sufficient statistics in
+    metrics, ops/device_bleu.py), so stacking an [S, B, T] tensor in HBM
+    would be pure waste. Per-step latents (z/mu/logvar per latent name,
+    [S, B, dim]) feed the metadata logs the reference writes per epoch
+    (run.py:166-194) -- but when `keep_latent_epochs` will prune this
+    epoch's metadata anyway, the driver builds the program with
+    `collect_latents=False` and the scan carries no latent outputs at all.
+
+    `unroll` is passed through to `lax.scan` (config `epoch_scan_unroll`):
+    >1 replicates the step body to amortize loop overhead, at the cost of
+    compile time; S must stay divisible by it (lax.scan requirement is
+    actually none -- XLA peels the remainder -- but the driver keeps S
+    uniform anyway).
 
     Signature: epoch_fn(state, batches, klw_seq, tf_prob, mi_weight)
       batches: pytree with leading step axis S (stacked collated batches)
       klw_seq: [S, n_latents] per-step KL weight vectors
-      -> (state, metrics_seq, latents_seq, preds_seq) all stacked on S.
+      -> (state, metrics_seq, latents_seq) stacked on S;
+         latents_seq is None when collect_latents=False.
     """
     train_step = make_train_step(cfg, constants, learn_rate, flat)
 
@@ -321,13 +338,13 @@ def make_train_epoch(cfg: ModelConfig, constants: Dict, learn_rate: float,
                  mi_weight):
         def body(state, xs):
             batch, klw = xs
-            state, metrics, latents, preds = train_step(
+            state, metrics, latents, _preds = train_step(
                 state, batch, klw, tf_prob, mi_weight)
-            return state, (metrics, latents, preds)
+            return state, (metrics, latents if collect_latents else None)
 
-        state, (metrics_seq, latents_seq, preds_seq) = jax.lax.scan(
-            body, state, (batches, klw_seq))
-        return state, metrics_seq, latents_seq, preds_seq
+        state, (metrics_seq, latents_seq) = jax.lax.scan(
+            body, state, (batches, klw_seq), unroll=unroll)
+        return state, metrics_seq, latents_seq
 
     return epoch_fn
 
@@ -353,20 +370,25 @@ def make_eval_step(cfg: ModelConfig, constants: Dict):
     return eval_step
 
 
-def make_eval_epoch(cfg: ModelConfig, constants: Dict):
+def make_eval_epoch(cfg: ModelConfig, constants: Dict,
+                    collect_latents: bool = True):
     """Whole-eval-epoch fusion: one device program scanning eval_step over
-    the split's stacked batches (same rationale as make_train_epoch)."""
+    the split's stacked batches (same rationale as make_train_epoch --
+    including dropping predictions, and latents when the epoch's metadata
+    will be pruned)."""
     eval_step = make_eval_step(cfg, constants)
 
     def epoch_fn(state: TrainState, batches: Dict, kl_weights_vec,
                  mi_weight, seeds):
         def body(_, xs):
             batch, seed = xs
-            return None, eval_step(state, batch, kl_weights_vec, mi_weight,
-                                   seed)
+            metrics, latents, _preds = eval_step(state, batch,
+                                                 kl_weights_vec, mi_weight,
+                                                 seed)
+            return None, (metrics, latents if collect_latents else None)
 
-        _, (metrics_seq, latents_seq, preds_seq) = jax.lax.scan(
+        _, (metrics_seq, latents_seq) = jax.lax.scan(
             body, None, (batches, seeds))
-        return metrics_seq, latents_seq, preds_seq
+        return metrics_seq, latents_seq
 
     return epoch_fn

@@ -86,9 +86,20 @@ sufs=()
 for seed in "${seeds[@]}"; do
   [ -n "$seed" ] && sufs+=("_s$seed") || sufs+=("")
 done
+# copy the MIGS file for every requested seed suffix (not just the
+# unseeded run: an explicit-seeds-only invocation has no MIGS_dev.jsonl
+# at the bare variant path), and warn when a variant yielded none
 for v in vae_inf vae_elbo vae_adv vae_mi "vae_adv+mi"; do
-  cp "$base/$v/evaluation/MIGS_dev.jsonl" "$outdir/MIGS_dev_$v.jsonl" \
-    2>/dev/null || true
+  copied=0
+  for suf in "${sufs[@]}"; do
+    src="$base/$v$suf/evaluation/MIGS_dev.jsonl"
+    if [ -f "$src" ]; then
+      cp "$src" "$outdir/MIGS_dev_$v$suf.jsonl"
+      copied=$((copied + 1))
+    fi
+  done
+  [ "$copied" -eq 0 ] && \
+    echo "WARNING: no MIGS_dev.jsonl found for variant $v under $base" >&2
 done
 python scripts/experiments/summarize_five_variants.py \
   --base "$base" --outdir "$outdir" --seeds "${sufs[@]}"

@@ -64,12 +64,25 @@ def test_compute_migs_ordering():
 
 
 def test_sample_from_latent_convention():
-    """std of samples must be exp(logvar), matching model quirk #2."""
+    """1-D latents: std of samples must be exp(logvar) (model quirk #2 /
+    reference D.Normal(mu, logvar.exp()))."""
     mus = np.zeros(20000, np.float32)
     logvars = np.full(20000, -0.5, np.float32)
     rng = np.random.default_rng(0)
     zs = sample_from_latent(mus, logvars, rng)
     assert abs(zs.std() - np.exp(-0.5)) < 0.02
+
+
+def test_sample_from_latent_multidim_convention():
+    """Multi-dim latents: the reference uses MultivariateNormal with
+    COVARIANCE diag(exp(logvar)) (disentanglement.py:226-231), so the
+    per-dimension std is exp(logvar / 2), NOT exp(logvar)."""
+    mus = np.zeros((20000, 3), np.float32)
+    logvars = np.full((20000, 3), -0.5, np.float32)
+    rng = np.random.default_rng(0)
+    zs = sample_from_latent(mus, logvars, rng)
+    assert zs.shape == (20000, 3)
+    assert abs(zs.std() - np.exp(-0.25)) < 0.02
 
 
 # ------------- end-to-end against a trained tiny model -------------
