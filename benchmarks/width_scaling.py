@@ -31,6 +31,9 @@ def main(argv=None):
                     help="steps per fused-epoch scan")
     ap.add_argument("--f32", action="store_true",
                     help="float32 compute (default bfloat16)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="fused-epoch scan unroll (config "
+                         "epoch_scan_unroll; 2 = recommended production)")
     args = ap.parse_args(argv)
     H, B, S = args.H, args.B, args.steps
     dtype = "float32" if args.f32 else "bfloat16"
@@ -51,13 +54,14 @@ def main(argv=None):
                            max_length=17)
     cfg = dataclasses.replace(cfg, lstm_backend="scan",
                               compute_dtype=dtype)
-    timing = time_fused_epoch(cfg, B, S)
+    timing = time_fused_epoch(cfg, B, S, unroll=args.unroll)
     sec_per_step = timing["sec_per_step"]
 
     eff = compute_mfu(cfg, B, cfg.max_length, sec_per_step,
                       jax.devices()[0].device_kind)
     print(json.dumps({
         "hidden": H, "batch": B, "dtype": dtype,
+        "unroll": args.unroll,
         "ms_per_step": round(sec_per_step * 1000, 3),
         "tokens_per_sec": round(timing["tokens_per_batch"] / sec_per_step,
                                 1),

@@ -173,6 +173,16 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # scan overhead, trading compile time. Measured round 4 on the
     # fused-epoch census before changing the default.
     "epoch_scan_unroll": (int, 1),
+    # Chunked fused epoch (identical math): run each training epoch as
+    # floor(S / C) calls of ONE fixed C-step scan program plus per-step
+    # calls for the S mod C remainder, instead of one S-step program.
+    # The monolithic program's shape bakes in S = ceil(N / B), so EVERY
+    # new corpus pays a full cold compile (~17-20 min at flagship scale,
+    # ROUND3.md); with a chunk size the compiled pieces are corpus-size-
+    # independent and the persistent cache makes the second corpus free.
+    # Cost: ~40 ms of per-call dispatch per chunk boundary (amortized
+    # 1/C -- benchmarks/epoch_census.py). 0 = monolithic (default).
+    "epoch_chunk_steps": (int, 0),
     # Compute the (host-side) self-BLEU metric every Nth train step.
     # 1 = reference behavior (every step). On slow hosts BLEU is a
     # meaningful share of epoch wall-clock; eval epochs always compute it.

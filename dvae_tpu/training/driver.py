@@ -432,23 +432,40 @@ def run(params_file: str, verbose: bool = False) -> None:
         return writers[split]
 
     # ---------------- epoch functions ----------------
+    epoch_chunk = max(0, params.get("epoch_chunk_steps", 0))
+
     def _stack_train_epoch(pipeline, epoch: int, steps_per_epoch: int,
                            total_steps: int):
         """Collate, stack, and upload one training epoch's batches. Runs
         either inline (first epoch) or on the prefetch thread, overlapped
-        with the previous epoch's device compute."""
+        with the previous epoch's device compute.
+
+        Returns (host_batches, chunks, klw_seq) where chunks is a list of
+        ("scan", sharded [C, B, ...] batches, [C, n] klw) /
+        ("step", sharded [B, ...] batch, [n] klw) work items. Without
+        epoch_chunk_steps there is exactly one scan item spanning the
+        whole epoch (the monolithic program); with it, the scan items all
+        share ONE compiled C-step program across corpora and the
+        remainder reuses the per-step program."""
         from dvae_tpu.parallel import shard_stacked_batch, stack_batches
         host_batches = list(pipeline.epoch())
         S = len(host_batches)
         step0 = epoch * steps_per_epoch
-        stacked = stack_batches(host_batches)
         klw_seq = np.stack([
             kl_weight_vector(cfg, params["lambdas"],
                              float(get_cyclic_kl_weight(step0 + i,
                                                         total_steps)))
             for i in range(S)])
-        dev = shard_stacked_batch(exp.plan, stacked)
-        return host_batches, dev, klw_seq
+        C = epoch_chunk if 0 < epoch_chunk < S else S
+        chunks = []
+        for lo in range(0, S - S % C, C):
+            dev = shard_stacked_batch(
+                exp.plan, stack_batches(host_batches[lo:lo + C]))
+            chunks.append(("scan", dev, klw_seq[lo:lo + C]))
+        for i in range(S - S % C, S):
+            chunks.append(("step", exp.device_batch(host_batches[i]),
+                           klw_seq[i]))
+        return host_batches, chunks, klw_seq
 
     prefetched: Dict[int, Any] = {}
 
@@ -478,7 +495,7 @@ def run(params_file: str, verbose: bool = False) -> None:
         loss_logger = LossLogger(writer("train"), epoch)
         step0 = epoch * steps_per_epoch
 
-        host_batches, dev, klw_seq = _get_train_epoch_data(
+        host_batches, chunks, klw_seq = _get_train_epoch_data(
             pipeline, epoch, steps_per_epoch, total_steps, last_epoch)
         S = len(host_batches)
         phases.append(("collate+upload", time.time()))
@@ -487,41 +504,59 @@ def run(params_file: str, verbose: bool = False) -> None:
         # output at all -- BLEU comes from the 10-int per-step sufficient
         # statistics in metrics, ops/device_bleu.py)
         want_latents = _latents_kept(epoch, last_epoch)
-        state, metrics_seq, latents_seq = train_epoch_fn(want_latents)(
-            state, dev, jnp.asarray(klw_seq),
-            jnp.asarray(params["teacher_forcing_prob"]),
-            jnp.asarray(params["mi_loss_weight_train"]))
-        jax.block_until_ready(metrics_seq["total_loss"])
+        tf = jnp.asarray(params["teacher_forcing_prob"])
+        miw = jnp.asarray(params["mi_loss_weight_train"])
+        metric_parts, latent_parts = [], []
+        for kind, dev, klw in chunks:
+            if kind == "scan":
+                state, m_seq, lat = train_epoch_fn(want_latents)(
+                    state, dev, jnp.asarray(klw), tf, miw)
+            else:
+                state, m_seq, lat, _ = train_step(state, dev,
+                                                  jnp.asarray(klw), tf, miw)
+                if not want_latents:
+                    lat = None
+            metric_parts.append(m_seq)
+            if want_latents:
+                latent_parts.append(lat)
+        jax.block_until_ready(metric_parts[-1]["total_loss"])
         phases.append(("compute", time.time()))
         # metrics first: they are tiny and on the critical path, and the
         # device link here serializes transfers -- kicking the ~150 MB
         # latents DMA first would queue the metrics behind it
-        metrics_seq = jax.device_get(metrics_seq)
+        metric_parts = jax.device_get(metric_parts)
         phases.append(("metrics_fetch", time.time()))
         # now start the latents DMA; the background metadata thread
         # materializes it off the critical path
         if want_latents:
-            jax.tree.map(lambda a: a.copy_to_host_async(), latents_seq)
+            jax.tree.map(lambda a: a.copy_to_host_async(), latent_parts)
 
         masks = [b.example_mask for b in host_batches]
         ids_all = [i for b in host_batches for i in b.ids]
         collected = []
         bleu_every = max(1, params.get("bleu_every_n_steps", 1))
-        for i in range(S):
-            m = jax.tree.map(lambda a: a[i], metrics_seq)
-            counts = m.pop("bleu_counts")
-            m["kl_weights"] = {n: klw_seq[i][j] for j, n in
-                               enumerate(cfg.latent_names)}
-            m["mi_loss_weight"] = params["mi_loss_weight_train"]
-            if i % bleu_every == 0:
-                m["bleu"] = bleu_from_counts(counts)
-            collected.append(m)
+        i = 0
+        for (kind, _, _), m_part in zip(chunks, metric_parts):
+            if kind == "scan":
+                per_step = [jax.tree.map(lambda a, j=j: a[j], m_part)
+                            for j in range(len(m_part["total_loss"]))]
+            else:
+                per_step = [dict(m_part)]
+            for m in per_step:
+                counts = m.pop("bleu_counts")
+                m["kl_weights"] = {n: klw_seq[i][k] for k, n in
+                                   enumerate(cfg.latent_names)}
+                m["mi_loss_weight"] = params["mi_loss_weight_train"]
+                if i % bleu_every == 0:
+                    m["bleu"] = bleu_from_counts(counts)
+                collected.append(m)
+                i += 1
         phases.append(("bleu+scalars", time.time()))
         _epoch_host_logging(loss_logger, collected, step0)
         loss_logger.log_epoch()
         phases.append(("scalar_log", time.time()))
         if want_latents:
-            log_latents_async(latents_seq, masks, ids_all, exp.logdir,
+            log_latents_async(latent_parts, masks, ids_all, exp.logdir,
                               "train", epoch, keep_epochs=keep_latents)
         phases.append(("metadata_dispatch", time.time()))
         if params.get("log_epoch_phases"):

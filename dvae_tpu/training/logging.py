@@ -230,21 +230,35 @@ def log_latents_async(latents_seq, masks, example_ids, logdir: str,
     single largest host-side cost of a flagship epoch, ~150 MB through a
     slow device link), the mask gather, and the CSV formatting all run in
     the background thread, overlapped with the next epoch's compute. The
-    caller should kick off the DMA first via copy_to_host_async."""
+    caller should kick off the DMA first via copy_to_host_async.
+
+    latents_seq may also be a LIST of such pytrees (the chunked-epoch
+    path, config `epoch_chunk_steps`): each element carries [Ci, B, D] or
+    [B, D] leaves and the chunks concatenate, in order, to the epoch's
+    S * B example rows."""
+    parts = latents_seq if isinstance(latents_seq, list) else [latents_seq]
+
     def work(latents_box):
         keep = np.concatenate(
             [np.asarray(m).astype(bool) for m in masks])
 
         def host_rows(arr):
             a = np.asarray(arr)          # completes the async DMA
-            return a.reshape(-1, a.shape[-1])[keep]
+            return a.reshape(-1, a.shape[-1])
 
         # materialize EVERYTHING to host first and drop the device refs,
         # so the ~150 MB of per-epoch device latents are freed as soon as
         # the DMA finishes rather than pinned until the CSVs are written
-        gathered = {ln: {pn: host_rows(arr)
-                         for pn, arr in per_param.items()}
-                    for ln, per_param in latents_box.pop().items()}
+        chunks = latents_box.pop()
+        gathered: Dict[str, Dict[str, Any]] = {}
+        for part in chunks:
+            for ln, per_param in part.items():
+                slot = gathered.setdefault(ln, {})
+                for pn, arr in per_param.items():
+                    slot.setdefault(pn, []).append(host_rows(arr))
+        gathered = {ln: {pn: np.concatenate(rows)[keep]
+                         for pn, rows in per_param.items()}
+                    for ln, per_param in gathered.items()}
         log_params(gathered, example_ids, logdir, dataset_name, epoch,
                    keep_epochs)
 
@@ -253,8 +267,8 @@ def log_latents_async(latents_seq, masks, example_ids, logdir: str,
     _metadata_threads[:] = [t for t in _metadata_threads if t.is_alive()]
     while len(_metadata_threads) >= 2:
         _metadata_threads.pop(0).join()
-    box = [latents_seq]
-    del latents_seq
+    box = [parts]
+    del latents_seq, parts
     t = threading.Thread(target=work, args=(box,), daemon=True)
     t.start()
     _metadata_threads.append(t)
