@@ -75,6 +75,41 @@ def test_epoch_scan_unroll_identical():
         s1.params, s2.params)
 
 
+def test_interrupt_writes_train_latent_snapshot(tiny_config, monkeypatch):  # noqa: F811
+    """An interrupted run whose lean epochs skipped train latents must
+    still leave a final-model train-latent snapshot for the offline eval
+    suite (driver.log_latents_snapshot)."""
+    tmp_path, cfg_path, cfg = tiny_config
+    cfg = dict(cfg, epochs=4, keep_latent_epochs=1, name="tiny_intr")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    monkeypatch.chdir(tmp_path)
+
+    import dvae_tpu.training.driver as driver_mod
+    calls = {"n": 0}
+    orig = driver_mod.append_reconstructions
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        # call 3 = epoch 1's train reconstructions: epoch 1 finished
+        # training (lean -> no latents), interrupt lands here
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+        return orig(*a, **k)
+
+    monkeypatch.setattr(driver_mod, "append_reconstructions", bomb)
+    driver_mod.run(str(cfg_path))
+
+    log = (tmp_path / "logs" / "tiny_intr" / "run.log").read_text()
+    assert "Training interrupted at epoch 1!" in log
+    assert "post-interrupt train-latent snapshot" in log
+    meta = tmp_path / "logs" / "tiny_intr" / "metadata"
+    # snapshot wrote train latents at the restart epoch (0 = last ckpt)
+    assert (meta / "z" / "train_polarity_0.log").exists()
+    # and the final evals still wrote dev/test latents
+    assert (meta / "z" / "dev_polarity_0.log").exists()
+
+
 def test_driver_prunes_early_epoch_latents(tiny_config, monkeypatch):  # noqa: F811
     tmp_path, cfg_path, cfg = tiny_config
     cfg = dict(cfg, epochs=3, keep_latent_epochs=1, name="tiny_lean")
