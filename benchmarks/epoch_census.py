@@ -32,12 +32,14 @@ from dvae_tpu.utils import enable_compilation_cache
 
 
 def main():
-    S, unroll, collect = 64, 1, False
+    S, unroll, collect, B = 64, 1, False, 128
     for a in sys.argv[1:]:
         if a.startswith("--steps="):
             S = int(a.split("=")[1])
         if a.startswith("--unroll="):
             unroll = int(a.split("=")[1])
+        if a.startswith("--batch="):
+            B = int(a.split("=")[1])
         if a == "--collect-latents":
             collect = True
 
@@ -47,7 +49,7 @@ def main():
                            max_length=17)
     cfg = dataclasses.replace(cfg, lstm_backend="scan",
                               compute_dtype="bfloat16")
-    batch_np = ge._synthetic_batch(cfg, B=128, seed=0)
+    batch_np = ge._synthetic_batch(cfg, B=B, seed=0)
     stacked = jax.tree.map(jnp.asarray, stack_batches([batch_np] * S))
     params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
     state = create_train_state(params, 3e-4, 0)

@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--unroll", type=int, default=1,
                     help="fused-epoch scan unroll (config "
                          "epoch_scan_unroll; 2 = recommended production)")
+    ap.add_argument("--ce", default="xla", choices=["xla", "pallas"],
+                    help="fused_ce_backend: 'pallas' streams vocab tiles "
+                         "and never materializes [B,T,V] logits (the "
+                         "large-B HBM relief valve, ops/pallas_ce.py)")
     args = ap.parse_args(argv)
     H, B, S = args.H, args.B, args.steps
     dtype = "float32" if args.f32 else "bfloat16"
@@ -53,7 +57,8 @@ def main(argv=None):
     cfg = ge._flagship_cfg(vocab_size=20000, emb=H, hidden=H, layers=2,
                            max_length=17)
     cfg = dataclasses.replace(cfg, lstm_backend="scan",
-                              compute_dtype=dtype)
+                              compute_dtype=dtype,
+                              fused_ce_backend=args.ce)
     timing = time_fused_epoch(cfg, B, S, unroll=args.unroll)
     sec_per_step = timing["sec_per_step"]
 
@@ -61,7 +66,7 @@ def main(argv=None):
                       jax.devices()[0].device_kind)
     print(json.dumps({
         "hidden": H, "batch": B, "dtype": dtype,
-        "unroll": args.unroll,
+        "unroll": args.unroll, "ce": args.ce,
         "ms_per_step": round(sec_per_step * 1000, 3),
         "tokens_per_sec": round(timing["tokens_per_batch"] / sec_per_step,
                                 1),
