@@ -27,8 +27,40 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_V = 2048
 _NEG_INF = -1e30
+# Vocab-tile ladder: largest tile whose working set fits VMEM wins.
+# Large batches (the HBM-bound regime this kernel exists for -- see
+# benchmarks/RESULTS.md round-4 batch scaling) force smaller vocab tiles
+# so the [B, tile_v] logits block stays on-chip.
+_TILE_LADDER = (2048, 1024, 512, 256)
+
+
+def _vmem_bytes(B: int, H: int, tile_v: int) -> int:
+    # THREE [B,H] f32 residencies (h input, dh output, dh_acc scratch in
+    # the backward; h + two live activations in the forward) + w tile
+    # [H,tile_v] double-buffered + ~two live [B,tile_v] f32 temporaries.
+    # The model systematically UNDER-counts by ~2-3 MiB at large B: the
+    # [B,1] refs (target, ce, sampled, lse) are lane-padded to [B,128] by
+    # Mosaic, which the 8*B term does not capture. The 14 MiB budget in
+    # _pick_tile_v absorbs that; see the hardware probe below.
+    return 4 * (3 * B * H + 2 * H * tile_v + 2 * B * tile_v + 8 * B)
+
+
+def _pick_tile_v(B: int, H: int) -> int:
+    """Largest ladder tile fitting the VMEM budget; 0 if none does.
+
+    Budget = 14 MiB against a 16 MiB scoped-vmem hardware limit.
+    Calibrated on v5e (H=256, V=20000): model-vs-hardware agrees on all
+    probed points -- (B=512,t=2048) predicts 13.5 MiB, compiles;
+    (B=1024,t=1024) 13.7 MiB, compiles; (B=2048,t=512) 15.1 MiB,
+    measured 17.9 MiB OOM, correctly rejected at 14; (B=2048,t=256)
+    10.6 MiB, compiles; B=4096 has no fitting tile (the 3x[B,H]
+    residency alone is 12 MiB) and falls back to the XLA fused CE.
+    """
+    for tile in _TILE_LADDER:
+        if _vmem_bytes(B, H, tile) <= 14 * 1024 * 1024:
+            return tile
+    return 0
 
 
 def pallas_ce_supported(B: int, H: int, V: int) -> bool:
@@ -36,9 +68,7 @@ def pallas_ce_supported(B: int, H: int, V: int) -> bool:
         return False
     if B % 8 != 0:
         return False
-    # h [B,H] + w tile [H,TILE_V] (x2 buffering) + logits tile [B,TILE_V]
-    vmem = 4 * (B * H + 2 * H * _TILE_V + 2 * B * _TILE_V + 8 * B)
-    return vmem <= 14 * 1024 * 1024
+    return _pick_tile_v(B, H) > 0
 
 
 # ----------------------------- forward ------------------------------
@@ -121,8 +151,9 @@ def _fwd_kernel(seed_ref, h_ref, w_ref, b_ref, tgt_ref,
 def _fwd_call(h, w_t, b2, target2, seed, interpret):
     B, H = h.shape
     V = w_t.shape[1]
-    nj = pl.cdiv(V, _TILE_V)
-    kernel = functools.partial(_fwd_kernel, V=V, tile_v=_TILE_V)
+    tile_v = _pick_tile_v(B, H)
+    nj = pl.cdiv(V, tile_v)
+    kernel = functools.partial(_fwd_kernel, V=V, tile_v=tile_v)
     ce, samp, lse = pl.pallas_call(
         kernel,
         grid=(nj,),
@@ -130,9 +161,9 @@ def _fwd_call(h, w_t, b2, target2, seed, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),              # seed
             pl.BlockSpec((B, H), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),              # h
-            pl.BlockSpec((H, _TILE_V), lambda j: (0, j),
+            pl.BlockSpec((H, tile_v), lambda j: (0, j),
                          memory_space=pltpu.VMEM),              # w tile
-            pl.BlockSpec((1, _TILE_V), lambda j: (0, j),
+            pl.BlockSpec((1, tile_v), lambda j: (0, j),
                          memory_space=pltpu.VMEM),              # b tile
             pl.BlockSpec((B, 1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),              # target
@@ -201,17 +232,18 @@ def _bwd_kernel(h_ref, w_ref, b_ref, tgt_ref, lse_ref, gce_ref,
 def _bwd_call(h, w_t, b2, target2, lse2, gce2, interpret):
     B, H = h.shape
     V = w_t.shape[1]
-    nj = pl.cdiv(V, _TILE_V)
-    kernel = functools.partial(_bwd_kernel, V=V, tile_v=_TILE_V)
+    tile_v = _pick_tile_v(B, H)
+    nj = pl.cdiv(V, tile_v)
+    kernel = functools.partial(_bwd_kernel, V=V, tile_v=tile_v)
     dw_t, dh, db2 = pl.pallas_call(
         kernel,
         grid=(nj,),
         in_specs=[
             pl.BlockSpec((B, H), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, _TILE_V), lambda j: (0, j),
+            pl.BlockSpec((H, tile_v), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_V), lambda j: (0, j),
+            pl.BlockSpec((1, tile_v), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -221,11 +253,11 @@ def _bwd_call(h, w_t, b2, target2, lse2, gce2, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((H, _TILE_V), lambda j: (0, j),
+            pl.BlockSpec((H, tile_v), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_V), lambda j: (0, j),
+            pl.BlockSpec((1, tile_v), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -79,3 +79,51 @@ def test_gradients_match_explicit(problem):
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_adaptive_tile_large_batch():
+    """Large batches must pick a smaller vocab tile (and stay supported)
+    instead of blowing the VMEM budget at the ladder top."""
+    from dvae_tpu.ops.pallas_ce import _pick_tile_v
+    # Every pinned value below was probed on v5e hardware (H=256,
+    # V=20000): the chosen tile compiles and fwd+grad match explicit
+    # logits; one tile up OOMs the 16 MiB scoped-vmem limit (B=2048 at
+    # tile 512 measured 17.9 MiB).
+    assert _pick_tile_v(128, 256) == 2048    # flagship: unchanged
+    assert _pick_tile_v(512, 256) == 2048    # the measured 459k knee point
+    assert _pick_tile_v(1024, 256) == 1024
+    assert _pick_tile_v(2048, 256) == 256
+    # B=4096 exceeds the limit at ANY vocab tile (the 3x[B,H] residency
+    # alone is 12 MiB); the 'auto' dispatch falls back to the XLA
+    # fused CE there.
+    assert _pick_tile_v(4096, 256) == 0
+    assert pallas_ce_supported(2048, 256, 20000)
+    assert not pallas_ce_supported(4096, 256, 20000)
+
+
+def test_ce_matches_explicit_small_tile(monkeypatch):
+    """Kernel correctness when the adaptive tile is below the ladder top
+    (exercises the multi-tile online-lse path at a non-default tile)."""
+    import dvae_tpu.ops.pallas_ce as pce
+    monkeypatch.setattr(pce, "_TILE_LADDER", (256,))
+    rng = np.random.default_rng(2)
+    B, H, V = 16, 128, 1000  # ragged tail vs the 256 tile too
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    target = jnp.asarray(rng.integers(0, V, size=B).astype(np.int32))
+    ce, sampled = pce.pallas_ce_sample(h, w, b, target, 5, True)
+    logits = h @ w.T + b
+    want = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+        logits, target[:, None], axis=-1)[:, 0]
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    g = jax.grad(lambda h, w, b: pce.pallas_ce_sample(
+        h, w, b, target, 5, True)[0].sum(), argnums=(0, 1, 2))(h, w, b)
+    gr = jax.grad(lambda h, w, b: (
+        jax.nn.logsumexp(h @ w.T + b, -1) - jnp.take_along_axis(
+            h @ w.T + b, target[:, None], axis=-1)[:, 0]).sum(),
+        argnums=(0, 1, 2))(h, w, b)
+    for a, bb in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-3, atol=2e-3)
