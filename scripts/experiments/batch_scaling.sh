@@ -27,25 +27,36 @@ steps_for() {  # keep tokens per timed call roughly constant
   esac
 }
 
-run_point() {  # run_point B
-  local B=$1 S dt="bfloat16"
+run_point() {  # run_point B ce
+  local B=$1 ce=$2 S dt="bfloat16" donekey
   S=$(steps_for "$B")
-  if grep -q "\"hidden\": 256, \"batch\": $B, \"dtype\": \"$dt\", \"unroll\": 2" "$out"; then
-    echo "skip B=$B (done)"; return
+  # backend-aware skip; pre-round-4 xla rows have no "ce" key (the row
+  # dict gained it with the --ce flag), so accept both spellings
+  donekey="\"batch\": $B, \"dtype\": \"$dt\", \"unroll\": 2, \"ce\": \"$ce\""
+  legacykey="\"batch\": $B, \"dtype\": \"$dt\", \"unroll\": 2, \"ms_per_step\""
+  if grep -q "\"hidden\": 256, $donekey" "$out" || {
+      [ "$ce" = xla ] && grep -q "\"hidden\": 256, $legacykey" "$out"; }; then
+    echo "skip B=$B ce=$ce (done)"; return
   fi
-  echo "==== B=$B S=$S ($(date +%H:%M:%S)) ===="
+  echo "==== B=$B S=$S ce=$ce ($(date +%H:%M:%S)) ===="
   if timeout 1800 python benchmarks/width_scaling.py 256 "$B" \
-      --steps "$S" --unroll 2 > /tmp/bs_point.json; then
+      --steps "$S" --unroll 2 --ce "$ce" > /tmp/bs_point.json; then
     tail -1 /tmp/bs_point.json >> "$out"
     tail -1 /tmp/bs_point.json
   else
-    echo "POINT FAILED: B=$B"
+    echo "POINT FAILED: B=$B ce=$ce"
   fi
 }
 
 for pass in 1 2; do
   for B in 128 256 512 1024 2048 4096; do
-    run_point "$B"
+    run_point "$B" xla
+  done
+  # pallas streaming-CE pass at the batches where the adaptive tile
+  # ladder (ops/pallas_ce.py) fits; B=4096 has no fitting tile and
+  # B=128/256 are tied-within-noise with xla (RESULTS.md round 4)
+  for B in 512 1024 2048; do
+    run_point "$B" pallas
   done
 done
 echo "BATCH SCALING DONE"
