@@ -8,6 +8,7 @@ op_profile's category level, so "device busy ms/step inside the scan" and
 "wall - device = host/tunnel residue" are separately known quantities.
 
 Usage: python benchmarks/epoch_census.py [--steps=S] [--unroll=N]
+                                         [--batch=B] [--ce=xla|pallas]
                                          [--collect-latents]
 Prints device ms/step by category + the wall-clock for the same call.
 """
@@ -32,7 +33,7 @@ from dvae_tpu.utils import enable_compilation_cache
 
 
 def main():
-    S, unroll, collect, B = 64, 1, False, 128
+    S, unroll, collect, B, ce = 64, 1, False, 128, "xla"
     for a in sys.argv[1:]:
         if a.startswith("--steps="):
             S = int(a.split("=")[1])
@@ -40,6 +41,8 @@ def main():
             unroll = int(a.split("=")[1])
         if a.startswith("--batch="):
             B = int(a.split("=")[1])
+        if a.startswith("--ce="):
+            ce = a.split("=")[1]
         if a == "--collect-latents":
             collect = True
 
@@ -48,7 +51,8 @@ def main():
     cfg = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2,
                            max_length=17)
     cfg = dataclasses.replace(cfg, lstm_backend="scan",
-                              compute_dtype="bfloat16")
+                              compute_dtype="bfloat16",
+                              fused_ce_backend=ce)
     batch_np = ge._synthetic_batch(cfg, B=B, seed=0)
     stacked = jax.tree.map(jnp.asarray, stack_batches([batch_np] * S))
     params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)

@@ -141,10 +141,18 @@ def masked_ce(targets, logits, lengths):
 
 
 def main():
+    global B
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=B,
+                    help="batch size (default 128 = the reference's "
+                         "reproduction configs; 512 anchors the "
+                         "batch-scaling knee's vs_baseline)")
+    ap.add_argument("--out", default="BASELINE_MEASURED.json",
+                    help="output filename under benchmarks/")
     args = ap.parse_args()
+    B = args.batch
     torch.manual_seed(0)
     np.random.seed(0)
 
@@ -228,8 +236,7 @@ def main():
         "note": "reference-profile reimplementation (SURVEY.md), CPU, "
                 "anomaly detection on, 3 backward groups + double forward",
     }
-    path = os.path.join(os.path.dirname(__file__),
-                        "BASELINE_MEASURED.json")
+    path = os.path.join(os.path.dirname(__file__), args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
