@@ -2,10 +2,12 @@
 
 Measures tokens/sec/chip for the full training step (forward + all five
 loss families + all three optimizer-group updates + the AE-drift re-encode)
-at sfu_amazon_100k scale (batch 128, seq 17, vocab 20k, 256-dim 2-layer
-bidirectional encoder -- reproduction_configs/sfu_amazon_100k/vae_adv+mi.json
-via SURVEY.md section 6), on whatever device JAX provides (TPU in the
-driver's environment).
+at sfu_amazon_100k scale (seq 17, vocab 20k, 256-dim 2-layer bidirectional
+encoder -- reproduction_configs/sfu_amazon_100k/vae_adv+mi.json via
+SURVEY.md section 6), on whatever device JAX provides (TPU in the driver's
+environment). The headline operating point is the metrics-certified
+batch-scaling knee (B=512, pallas streaming CE -- round 4); the B=128
+paper-protocol point is carried in detail.paper_protocol_b128.
 
 vs_baseline compares seconds/step against the measured CPU-torch
 reference-profile baseline (benchmarks/BASELINE_MEASURED.json, produced by
@@ -78,26 +80,40 @@ def main():
 
     import dataclasses
 
-    B = 128
+    # Headline operating point (round 4): the training-side batch-scaling
+    # knee, B=512 with the pallas streaming CE (benchmarks/RESULTS.md) --
+    # certified end-to-end by the B=512 flagship twin (80 epochs == the
+    # B=128 twin's optimizer-step count; full paper battery;
+    # evaluation_results/flagship_r4_certification/b512_certification.md).
+    # The paper-protocol B=128 point is still measured and carried in
+    # detail.paper_protocol_b128 for round-over-round trend continuity.
+    # A degraded (CPU-fallback) run keeps B=128 + XLA CE: the pallas
+    # kernel runs in interpret mode off-TPU and would never finish.
+    B = 128 if degraded else 512
     cfg = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2,
                            max_length=17)
     # the perf-recommended configuration (honest-timing A/B, RESULTS.md
     # round 2): scan recurrence + bf16 compute (pre-cast weights).
-    # The streaming pallas CE measures another ~2% faster but
-    # costs ~10 min of fresh-process compile, so the bench keeps the XLA
-    # fused CE. Parity-default runs stay f32 (reference numerics).
-    cfg = dataclasses.replace(cfg, lstm_backend="scan",
-                              compute_dtype="bfloat16")
-    batch_np = ge._synthetic_batch(cfg, B=B, seed=0)
+    # Parity-default runs stay f32 (reference numerics).
+    cfg = dataclasses.replace(
+        cfg, lstm_backend="scan", compute_dtype="bfloat16",
+        fused_ce_backend="xla" if degraded else "pallas")
+    # The per-step dispatch-loop diagnostic and the XLA cost analysis run
+    # on the B=128 XLA-CE program (always warm in the compilation cache;
+    # a single-step B=512 pallas program exists nowhere in production --
+    # the driver's chunked epoch IS the unit -- and would cost a fresh
+    # multi-minute compile for a number nobody uses).
+    cfg128 = dataclasses.replace(cfg, fused_ce_backend="xla")
+    batch_np = ge._synthetic_batch(cfg128, B=128, seed=0)
     batch = {k: (jnp.asarray(v) if not isinstance(v, dict)
                  else {n: jnp.asarray(a) for n, a in v.items()})
              for k, v in batch_np.items()}
 
-    params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)
+    params, constants = init_vae_params(jax.random.PRNGKey(0), cfg128)
     state = create_train_state(params, 3e-4, 0)
-    step = jax.jit(make_train_step(cfg, constants, 3e-4),
+    step = jax.jit(make_train_step(cfg128, constants, 3e-4),
                    donate_argnums=(0,))
-    klw = jnp.asarray(kl_weight_vector(cfg, {"default": 0.01}, 1.0))
+    klw = jnp.asarray(kl_weight_vector(cfg128, {"default": 0.01}, 1.0))
     tf = jnp.asarray(0.5)
     miw = jnp.asarray(0.01)
 
@@ -134,7 +150,12 @@ def main():
     # recommended config sets epoch_scan_unroll=2 (math-identical,
     # tests/test_lean_epoch.py; -1.2% device time in the census).
     from benchmarks.fused_epoch_timing import time_fused_epoch
-    S = 16 if degraded else 256
+    # Headline window: S=64 == the production epoch_chunk_steps=64 of the
+    # certified B=512 config, so the per-epoch-call dispatch amortization
+    # in the timing matches real training exactly. The B=128 paper point
+    # keeps its S=256 window (flagship epochs are S=781; S=256 measures
+    # within 0.5% of S=768 -- round-4 attribution).
+    S = 16 if degraded else 64
     timing = time_fused_epoch(cfg, B, S, reps=2 if degraded else 4,
                               unroll=1 if degraded else 2)
     sec_per_step = timing["sec_per_step"]
@@ -142,6 +163,19 @@ def main():
     tokens_per_batch = timing["tokens_per_batch"]
     n_chips = jax.device_count()
     tokens_per_sec_per_chip = tokens_per_batch / sec_per_step / n_chips
+
+    paper_128 = None
+    if not degraded:
+        t128 = time_fused_epoch(cfg128, 128, 256, reps=4, unroll=2)
+        paper_128 = {
+            "seconds_per_step": round(t128["sec_per_step"], 6),
+            "tokens_per_sec_per_chip": round(
+                t128["tokens_per_batch"] / t128["sec_per_step"] / n_chips,
+                1),
+            "note": "B=128 / XLA CE / S=256 -- the paper-protocol "
+                    "operating point, == the round-3 headline config; "
+                    "carried for round-over-round trend continuity",
+        }
 
     # MFU: analytic model FLOPs from the config (utils/flops.py) against
     # the device's dense peak; XLA's own executable flop count is carried
@@ -155,7 +189,7 @@ def main():
         if degraded:
             raise RuntimeError("skip cost analysis on degraded CPU fallback")
         lowered = jax.jit(
-            make_train_step(cfg, constants, 3e-4), donate_argnums=(0,)
+            make_train_step(cfg128, constants, 3e-4), donate_argnums=(0,)
         ).lower(state, batch, klw, tf, miw)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -164,12 +198,19 @@ def main():
     except Exception:
         pass
 
+    # Same-batch baseline: the torch CPU reference profile measured at
+    # the SAME batch size as the headline (B=512: 80.68 s/step vs B=128:
+    # 19.40 -- essentially linear in B, benchmarks/torch_reference_baseline.py
+    # --batch), so the ratio stays a per-step == per-token comparison.
     vs_baseline = None
+    base_name = ("BASELINE_MEASURED.json" if B == 128
+                 else f"BASELINE_MEASURED_B{B}.json")
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "benchmarks", "BASELINE_MEASURED.json")
+                             "benchmarks", base_name)
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
+        assert base["batch_size"] == B
         vs_baseline = base["torch_cpu_seconds_per_step"] / sec_per_step
 
     # A degraded (CPU-fallback) run gets a DIFFERENT metric name so trend
@@ -186,16 +227,19 @@ def main():
         "detail": {
             "seconds_per_step": round(sec_per_step, 6),
             "timed_path": f"lean fused epoch (production steady state): {S}"
-                          " steps per lax.scan device program, unroll=2,"
+                          " steps per lax.scan device program (== the"
+                          " certified config's epoch_chunk_steps), unroll=2,"
                           " host fetch barrier",
             "seconds_per_step_dispatch_loop": round(sec_per_step_dispatch,
                                                     6),
             "batch_size": B,
+            "fused_ce_backend": cfg.fused_ce_backend,
             "tokens_per_batch": tokens_per_batch,
             "device": str(jax.devices()[0]),
             "n_chips": n_chips,
             "degraded": degraded,
             "prng_impl": "rbg",
+            "paper_protocol_b128": paper_128,
             "flops_per_step": eff["flops_per_step"],
             "achieved_tflops": round(eff["achieved_tflops"], 2),
             "peak_tflops": eff["peak_tflops"] or None,
@@ -204,9 +248,12 @@ def main():
             "flops_breakdown": {k: int(v) for k, v in
                                 train_step_flops(cfg, B,
                                                  cfg.max_length).items()},
-            "xla_executable_flops": xla_flops,
+            "xla_executable_flops_b128_step": xla_flops,
             "config": "sfu_amazon_100k scale (V=20k, H=256, 2-layer biLSTM,"
-                      " adv+mi on, full fused train step)",
+                      " adv+mi on, full fused train step); headline point ="
+                      " the batch-scaling knee B=512 + pallas streaming CE,"
+                      " metrics-certified end-to-end (evaluation_results/"
+                      "flagship_r4_certification/b512_certification.md)",
             "baseline_caveat": "denominator is the reference's measured "
                                "computational profile on ONE CPU thread "
                                "with its always-on anomaly detection "
