@@ -44,14 +44,28 @@ def club_mi_estimate(p: Dict, x: jnp.ndarray, y: jnp.ndarray,
     positive = -(mu - y)^2 / 2 / exp(lv)                       [B, D]
     negative = -mean_j (y_j - mu_i)^2 / 2 / exp(lv_i)          [B, D]
     estimate = mean_i( sum_d positive - sum_d negative )
+
+    The marginalized-negative term is a quadratic in (y_j, mu_i), so the
+    masked mean over negatives factorizes EXACTLY (same math, different
+    float association):
+
+        mean_j (y_j - mu_i)^2 = mean(y^2) - 2 mu_i mean(y) + mu_i^2
+
+    which is O(B*D) instead of materializing the [B, B, D] pairwise
+    tensor the reference's einsum implies -- 65 MB per content pair at
+    B=512 and 1 GB at B=2048, a leading term of the large-batch HBM
+    regression (benchmarks/RESULTS.md round-4 batch-scaling census).
+    tests/test_losses.py pins factorized == explicit for values AND
+    gradients.
     """
     mu, lv = _mu_logvar(p, x)
     inv_var = jnp.exp(-lv)
     positive = -0.5 * (mu - y) ** 2 * inv_var
-    sq = (y[None, :, :] - mu[:, None, :]) ** 2          # [B_i, B_j, D]
-    wsum = jnp.einsum("ijd,j->id", sq, mask)
     denom = jnp.maximum(mask.sum(), 1.0)
-    negative = -0.5 * (wsum / denom) * inv_var
+    s1 = jnp.einsum("jd,j->d", y, mask)                 # sum_j y_j
+    s2 = jnp.einsum("jd,j->d", y * y, mask)             # sum_j y_j^2
+    wmean = (s2 - 2.0 * mu * s1 + denom * mu * mu) / denom      # [B, D]
+    negative = -0.5 * wmean * inv_var
     per_ex = (positive - negative).sum(-1)
     return (per_ex * mask).sum() / denom
 
