@@ -33,17 +33,28 @@ def _device_available(timeout_s: float = 150.0) -> bool:
     hangs produces NO number at all. The probe runs a trivial reduction in
     a child process (so a wedged init cannot take this process with it) and
     kills the child on timeout.
+
+    Transient failures happen too (observed: two consecutive probe
+    failures minutes apart with a healthy chip on either side -- a
+    tunnel lease/init flake, not an outage), so the probe retries:
+    a flaky-but-alive accelerator must not silently demote the headline
+    to a CPU number.
     """
     code = ("import jax, jax.numpy as jnp; "
             "assert float(jnp.ones((4, 4)).sum()) == 16.0")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s,
-                           stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
-        return r.returncode == 0
-    except Exception:
-        return False
+    for attempt in range(3):
+        if attempt:
+            time.sleep(10.0)
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def main():

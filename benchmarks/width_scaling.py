@@ -38,6 +38,10 @@ def main(argv=None):
                     help="fused_ce_backend: 'pallas' streams vocab tiles "
                          "and never materializes [B,T,V] logits (the "
                          "large-B HBM relief valve, ops/pallas_ce.py)")
+    ap.add_argument("--lstm", default="scan", choices=["scan", "pallas"],
+                    help="lstm_backend (pallas = the VMEM-resident fused "
+                         "sequence kernel, deprecated at B=128 in round 3; "
+                         "kept A/B-able for large-B re-evaluation)")
     args = ap.parse_args(argv)
     H, B, S = args.H, args.B, args.steps
     dtype = "float32" if args.f32 else "bfloat16"
@@ -56,7 +60,7 @@ def main(argv=None):
 
     cfg = ge._flagship_cfg(vocab_size=20000, emb=H, hidden=H, layers=2,
                            max_length=17)
-    cfg = dataclasses.replace(cfg, lstm_backend="scan",
+    cfg = dataclasses.replace(cfg, lstm_backend=args.lstm,
                               compute_dtype=dtype,
                               fused_ce_backend=args.ce)
     timing = time_fused_epoch(cfg, B, S, unroll=args.unroll)
@@ -66,7 +70,7 @@ def main(argv=None):
                       jax.devices()[0].device_kind)
     print(json.dumps({
         "hidden": H, "batch": B, "dtype": dtype,
-        "unroll": args.unroll, "ce": args.ce,
+        "unroll": args.unroll, "ce": args.ce, "lstm": args.lstm,
         "ms_per_step": round(sec_per_step * 1000, 3),
         "tokens_per_sec": round(timing["tokens_per_batch"] / sec_per_step,
                                 1),
