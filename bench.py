@@ -233,6 +233,12 @@ def main():
         "degraded": bool(degraded),
         "value": round(tokens_per_sec_per_chip, 1),
         "unit": "tokens/sec/chip",
+        # Top-level so round-over-round trend consumers can partition a
+        # config change from a throughput change (the headline moved from
+        # B=128/XLA-CE/S=256 to this point in round 4; the old point is
+        # still measured under detail.paper_protocol_b128).
+        "operating_point": (f"B={B}/{cfg.fused_ce_backend}-CE/S={S}/"
+                            f"rbg/bf16/unroll2"),
         "vs_baseline": (round(vs_baseline, 2)
                         if vs_baseline is not None else None),
         "detail": {

@@ -44,6 +44,10 @@ def main(argv=None):
                     help="also compile+time the 1-step program (chunked "
                          "epoch remainder)")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--ce", default="xla", choices=["xla", "pallas"],
+                    help="fused CE backend (round 5: the pallas ladder "
+                         "-- the recommended throughput stack's epoch "
+                         "program -- had no cold-compile study)")
     ap.add_argument("--tag", default="",
                     help="opaque label echoed into the output line (lets "
                          "the study script distinguish the populate vs "
@@ -70,7 +74,8 @@ def main(argv=None):
     cfg = ge._flagship_cfg(vocab_size=20000, emb=H, hidden=H, layers=2,
                            max_length=17)
     cfg = dataclasses.replace(cfg, lstm_backend="scan",
-                              compute_dtype=dtype)
+                              compute_dtype=dtype,
+                              fused_ce_backend=args.ce)
 
     t_wall = time.time()
     timing = time_fused_epoch(cfg, args.batch, args.steps,
@@ -79,6 +84,7 @@ def main(argv=None):
         "tag": args.tag,
         "hidden": H, "batch": args.batch, "steps": args.steps,
         "unroll": args.unroll, "dtype": dtype, "cache": cache_mode,
+        "ce": args.ce,
         "first_call_s": round(timing["first_call_s"], 2),
         "ms_per_step_warm": round(timing["sec_per_step"] * 1000, 3),
     }

@@ -88,6 +88,7 @@ def main():
     data, _ = plugin.xspace_to_tools_data([pbs[-1]], "op_profile")
     d = json.loads(data)
     cats, prog_name, prog_metrics = {}, None, {}
+    ops = []  # (category, op name, rawTime) leaves, for the top-op table
     for prog in d["byProgramExcludeIdle"].get("children", []):
         name = prog.get("name", "")
         if "epoch_fn" not in name:
@@ -95,9 +96,18 @@ def main():
         prog_name = name
         prog_metrics = prog.get("metrics", {})
         for cat in prog.get("children", []):
-            cats[cat.get("name", "?")] = \
-                cats.get(cat.get("name", "?"), 0) + \
-                cat.get("metrics", {}).get("rawTime", 0)
+            cname = cat.get("name", "?")
+            cats[cname] = (cats.get(cname, 0)
+                           + cat.get("metrics", {}).get("rawTime", 0))
+            stack = list(cat.get("children", []))
+            while stack:
+                node = stack.pop()
+                kids = node.get("children", [])
+                if kids:
+                    stack.extend(kids)
+                else:
+                    ops.append((cname, node.get("name", "?"),
+                                node.get("metrics", {}).get("rawTime", 0)))
     total = sum(cats.values())
     print(f"\nprogram: {prog_name}")
     print(f"device busy: {total / 1e9:.1f} ms total = "
@@ -112,6 +122,10 @@ def main():
     for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
         pct = t / total * 100 if total else 0.0
         print(f"{t / 1e9 / S:8.3f}  {pct:5.1f}%  {cat}")
+    print("\n-- top 30 ops (ms/step) --")
+    for cname, oname, t in sorted(ops, key=lambda kv: -kv[2])[:30]:
+        pct = t / total * 100 if total else 0.0
+        print(f"{t / 1e9 / S:8.3f}  {pct:5.1f}%  [{cname}] {oname}")
 
 
 if __name__ == "__main__":

@@ -187,6 +187,13 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     # 1 = reference behavior (every step). On slow hosts BLEU is a
     # meaningful share of epoch wall-clock; eval epochs always compute it.
     "bleu_every_n_steps": (int, 1),
+    # Compute the autoencoding-drift metric (re-encode the step's token
+    # predictions with the updated params -- reference run.py:285-295)
+    # every Nth train step. 1 = reference behavior (every step). The
+    # re-encode is ~8% of the train step's FLOPs (BENCH_r04
+    # flops_breakdown.reencode) spent on a TensorBoard scalar; N>1
+    # lax.cond-skips it, leaving computed-step values bit-identical.
+    "ae_drift_every_n": (int, 1),
     # jax.profiler trace of the first few training steps; "" disables.
     "profile_dir": (str, ""),
     "profile_steps": (int, 5),
@@ -332,6 +339,8 @@ class ModelConfig:
     fused_ce_backend: str = "xla"
     # see OPTIONAL_SCHEMA["decoder_sampler"]
     decoder_sampler: str = "gumbel"
+    # see OPTIONAL_SCHEMA["ae_drift_every_n"]; 1 = reference parity
+    ae_drift_every_n: int = 1
     # Skip the decode sampler's [B, V] random-bit generation + argmax on
     # teacher-forced steps via lax.cond: the sampled token is dead there
     # (jnp.where(coin, teacher, sampled) with a batch-shared coin), and
@@ -463,6 +472,20 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
     mult = math.lcm(n_model, pad_mult)
     padded_vocab = -1 if mult == 1 else -(-vocab_size // mult) * mult
 
+    # cond_sampler only affects the XLA fused-CE path (the pallas streaming
+    # kernel draws inline and takes no coin). The recommended production
+    # config is pallas + the cond_sampler default (true), so resolve the
+    # dead knob HERE -- one INFO line, not a UserWarning at every trace.
+    cond_sampler = params.get("cond_sampler", True)
+    if cond_sampler and params.get("fused_ce_backend", "xla") == "pallas" \
+            and params.get("fused_decoder_ce", True):
+        import logging
+        logging.getLogger(__name__).info(
+            "cond_sampler has no effect under fused_ce_backend=pallas "
+            "(the streaming kernel draws inline); disabling it for this "
+            "run")
+        cond_sampler = False
+
     pw = params.get("dsc_pos_weights", {}) or {}
     for k in pw:
         if k not in dsc_names:
@@ -506,7 +529,8 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         fused_decoder_ce=params.get("fused_decoder_ce", True),
         fused_ce_backend=params.get("fused_ce_backend", "xla"),
         decoder_sampler=params.get("decoder_sampler", "gumbel"),
-        cond_sampler=params.get("cond_sampler", True),
+        ae_drift_every_n=max(1, params.get("ae_drift_every_n", 1)),
+        cond_sampler=cond_sampler,
         decode_unroll=params.get("decode_unroll", 1),
         deterministic_eval_z=params.get("deterministic_eval_z", False),
         pos_weights=tuple(sorted((k, float(v)) for k, v in pw.items())),

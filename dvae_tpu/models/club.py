@@ -64,7 +64,17 @@ def club_mi_estimate(p: Dict, x: jnp.ndarray, y: jnp.ndarray,
     denom = jnp.maximum(mask.sum(), 1.0)
     s1 = jnp.einsum("jd,j->d", y, mask)                 # sum_j y_j
     s2 = jnp.einsum("jd,j->d", y * y, mask)             # sum_j y_j^2
-    wmean = (s2 - 2.0 * mu * s1 + denom * mu * mu) / denom      # [B, D]
+    # Centered factorization: mean_j (y_j - mu_i)^2 = var(y) + (mu_i -
+    # mean(y))^2. The raw expansion s2 - 2 mu s1 + denom mu^2 cancels
+    # catastrophically in f32 when mu_i ~ mean(y) and y's spread is tiny,
+    # and can round NEGATIVE -- which the pairwise form (a mean of
+    # squares) never can. Centering keeps each addend non-negative; the
+    # variance term is clamped at 0 against its own last-bit cancellation
+    # (gradient-safe: the clamp binds only in the fully degenerate
+    # all-y-identical case, where d var/d y is 0 anyway).
+    ybar = s1 / denom                                   # [D]
+    var_y = jnp.maximum(s2 / denom - ybar * ybar, 0.0)  # [D]
+    wmean = var_y + (mu - ybar) ** 2                    # [B, D]
     negative = -0.5 * wmean * inv_var
     per_ex = (positive - negative).sum(-1)
     return (per_ex * mask).sum() / denom

