@@ -108,13 +108,20 @@ def main():
     # Parity-default runs stay f32 (reference numerics).
     cfg = dataclasses.replace(
         cfg, lstm_backend="scan", compute_dtype="bfloat16",
-        fused_ce_backend="xla" if degraded else "pallas")
+        fused_ce_backend="xla" if degraded else "pallas",
+        # the recommended production stride for the AE-drift re-encode
+        # metric (round 5: -4.6% step time, benchmarks/ae_drift_ab.py;
+        # computed-step metric values bit-identical); flops_per_step/MFU
+        # amortize the re-encode over the stride (utils/flops.py)
+        ae_drift_every_n=1 if degraded else 5)
     # The per-step dispatch-loop diagnostic and the XLA cost analysis run
     # on the B=128 XLA-CE program (always warm in the compilation cache;
     # a single-step B=512 pallas program exists nowhere in production --
     # the driver's chunked epoch IS the unit -- and would cost a fresh
     # multi-minute compile for a number nobody uses).
-    cfg128 = dataclasses.replace(cfg, fused_ce_backend="xla")
+    # paper-protocol trend point stays at full reference parity (ae=1)
+    cfg128 = dataclasses.replace(cfg, fused_ce_backend="xla",
+                                 ae_drift_every_n=1)
     batch_np = ge._synthetic_batch(cfg128, B=128, seed=0)
     batch = {k: (jnp.asarray(v) if not isinstance(v, dict)
                  else {n: jnp.asarray(a) for n, a in v.items()})
@@ -238,7 +245,7 @@ def main():
         # B=128/XLA-CE/S=256 to this point in round 4; the old point is
         # still measured under detail.paper_protocol_b128).
         "operating_point": (f"B={B}/{cfg.fused_ce_backend}-CE/S={S}/"
-                            f"rbg/bf16/unroll2"),
+                            f"rbg/bf16/unroll2/ae{cfg.ae_drift_every_n}"),
         "vs_baseline": (round(vs_baseline, 2)
                         if vs_baseline is not None else None),
         "detail": {

@@ -33,7 +33,7 @@ from dvae_tpu.utils import enable_compilation_cache
 
 
 def main():
-    S, unroll, collect, B, ce = 64, 1, False, 128, "xla"
+    S, unroll, collect, B, ce, ae = 64, 1, False, 128, "xla", 1
     for a in sys.argv[1:]:
         if a.startswith("--steps="):
             S = int(a.split("=")[1])
@@ -43,6 +43,8 @@ def main():
             B = int(a.split("=")[1])
         if a.startswith("--ce="):
             ce = a.split("=")[1]
+        if a.startswith("--ae="):
+            ae = int(a.split("=")[1])
         if a == "--collect-latents":
             collect = True
 
@@ -52,7 +54,8 @@ def main():
                            max_length=17)
     cfg = dataclasses.replace(cfg, lstm_backend="scan",
                               compute_dtype="bfloat16",
-                              fused_ce_backend=ce)
+                              fused_ce_backend=ce,
+                              ae_drift_every_n=ae)
     batch_np = ge._synthetic_batch(cfg, B=B, seed=0)
     stacked = jax.tree.map(jnp.asarray, stack_batches([batch_np] * S))
     params, constants = init_vae_params(jax.random.PRNGKey(0), cfg)

@@ -14,7 +14,12 @@ accumulates dh on-chip while streaming dW tiles out.
 Sampling note: draws use the TPU core PRNG (Gumbel-max over tiles), which
 is a correct categorical sampler but a DIFFERENT stream than
 jax.random.categorical -- predictions are distribution-equivalent, not
-bit-equal, to the XLA path. CE values and gradients are exact.
+bit-equal, to the XLA path. CE values and gradients are exact in f32;
+with pre-cast bf16 weights (config compute_dtype="bfloat16") the kernel
+matmuls run bf16-in/f32-accumulate, matching the XLA CE path's own bf16
+convention (round 5: -3.5% headline step time -- the [H,V] weight
+stream and the [H,V] dW write, the kernel's two dominant HBM flows,
+both halve).
 """
 
 from __future__ import annotations
@@ -48,6 +53,13 @@ def _vmem_bytes(B: int, H: int, tile_v: int) -> int:
 
 def _pick_tile_v(B: int, H: int) -> int:
     """Largest ladder tile fitting the VMEM budget; 0 if none does.
+
+    Deliberately sized on the all-f32 model even when the kernel runs
+    bf16 matmul inputs (_kernel_dtype): bf16 strictly shrinks the
+    working set at a given tile, so the f32-calibrated ladder stays
+    guaranteed-compilable, and bumping the bf16 ladder one tile up would
+    re-open the OOM probe work for ~nothing (the kernel is bound by the
+    [H,V] stream, which the dtype already halved).
 
     Budget = 14 MiB against a 16 MiB scoped-vmem hardware limit.
     Calibrated on v5e (H=256, V=20000): model-vs-hardware agrees on all
@@ -224,18 +236,23 @@ def _bwd_kernel(h_ref, w_ref, b_ref, tgt_ref, lse_ref, gce_ref,
     valid = col < V
     p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
     onehot = jnp.where(col == tgt_ref[:], 1.0, 0.0)
-    dlogits = gce_ref[:] * (p - onehot)                  # [B, tile_v]
+    dlogits = gce_ref[:] * (p - onehot)                  # [B, tile_v] f32
+    # matmul inputs in the kernel dtype (bf16 under pre-cast weights --
+    # the XLA CE path casts dlogits the same way for dh, fused_ce.py);
+    # accumulation stays f32 via preferred_element_type
+    dlog_k = dlogits.astype(h_ref.dtype)
     dw_ref[:] = jax.lax.dot_general(
-        h_ref[:], dlogits, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [H, tile_v]
+        h_ref[:], dlog_k, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(
+            dw_ref.dtype)                                # [H, tile_v]
     db_ref[:] = jnp.sum(dlogits, axis=0, keepdims=True)  # [1, tile_v]
     # zero the ragged tail of the weight tile: its out-of-bounds padding is
     # undefined and 0 * undefined would poison the dh contraction
     H = w_ref.shape[0]
     wcol = jax.lax.broadcasted_iota(jnp.int32, (H, tile_v), 1) + j * tile_v
-    w_masked = jnp.where(wcol < V, w_ref[:], 0.0)
+    w_masked = jnp.where(wcol < V, w_ref[:], jnp.zeros((), w_ref.dtype))
     dh_acc[:] = dh_acc[:] + jax.lax.dot_general(
-        dlogits, w_masked, (((1,), (1,)), ((), ())),
+        dlog_k, w_masked, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [B, H]
 
     @pl.when(j == nj - 1)
@@ -275,7 +292,11 @@ def _bwd_call(h, w_t, b2, target2, lse2, gce2, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, V), jnp.float32),
+            # dw in the kernel dtype: the cotangent is handed back as
+            # w.dtype anyway (see _vjp_bwd), so emitting bf16 here halves
+            # the kernel's dominant write without changing what the
+            # training step accumulates
+            jax.ShapeDtypeStruct((H, V), w_t.dtype),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((1, V), jnp.float32),
         ],
@@ -295,12 +316,25 @@ def pallas_ce_sample(h, w, b, target, seed, interpret=False):
     return ce, samp
 
 
+def _kernel_dtype(w):
+    """Matmul-input dtype inside the kernel. With pre-cast bf16 weights
+    (config compute_dtype="bfloat16" -- layers.cast_matmul_weights) the
+    kernel streams w and h as bf16 and lets the MXU accumulate in f32,
+    matching the XLA CE path's convention (ops/fused_ce.py `dot`): half
+    the HBM traffic on the [H,V] weight (the kernel's dominant stream --
+    round-5 census, benchmarks/RESULTS.md) at full MXU rate. Everything
+    else (lse/ce/softmax/gumbel math, b, db) stays f32. f32 weights keep
+    the exact all-f32 kernel (parity default unchanged)."""
+    return w.dtype if w.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _fwd_impl(h, w, b, target, seed, interpret):
-    w_t = w.T.astype(jnp.float32)
+    kdt = _kernel_dtype(w)
+    w_t = w.T.astype(kdt)
     b2 = b.reshape(1, -1).astype(jnp.float32)
     target2 = target.reshape(-1, 1).astype(jnp.int32)
     seed1 = jnp.asarray(seed, jnp.int32).reshape(1)
-    ce, samp, lse = _fwd_call(h.astype(jnp.float32), w_t, b2, target2,
+    ce, samp, lse = _fwd_call(h.astype(kdt), w_t, b2, target2,
                               seed1, interpret)
     return (ce, samp), (h, w, b, target2, lse)
 
@@ -314,11 +348,14 @@ def _vjp_bwd(interpret, res, grads):
     h, w, b, target2, lse = res
     g_ce, _ = grads
     gce2 = g_ce.reshape(-1, 1).astype(jnp.float32)
-    dw_t, dh, db = _bwd_call(h.astype(jnp.float32),
-                             w.T.astype(jnp.float32),
+    kdt = _kernel_dtype(w)
+    dw_t, dh, db = _bwd_call(h.astype(kdt), w.T.astype(kdt),
                              b.reshape(1, -1).astype(jnp.float32), target2,
                              lse.reshape(-1, 1), gce2, interpret)
-    # cotangent dtypes must match the primals (bf16 under pre-cast weights)
+    # cotangent dtypes must match the primals (bf16 under pre-cast
+    # weights; the bf16 kernel already emits dw in w's dtype, halving
+    # the [H,V] gradient write -- the cotangent was ALWAYS handed back
+    # as w.dtype, so downstream accumulation precision is unchanged)
     return (dh.astype(h.dtype), dw_t.T.astype(w.dtype), db.astype(b.dtype),
             None, None)
 

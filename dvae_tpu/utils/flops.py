@@ -111,11 +111,15 @@ def train_step_flops(cfg: ModelConfig, B: int, T: int) -> Dict[str, int]:
     # heads only (z is detached)
     aux = 3 * _small_head_flops(cfg, B)
     # AE-drift re-encode with updated params: encoder + c2p only -- the
-    # re-encode path (step.py "autoencoding drift") never runs z2h
-    reenc = enc + latent_head_flops(cfg, B, include_z2h=False)
+    # re-encode path (step.py "autoencoding drift") never runs z2h.
+    # Amortized over the config's stride (ae_drift_every_n lax.cond-skips
+    # it off-stride) so flops_per_step and MFU describe the average step
+    # the measured program actually executes.
+    stride = max(1, getattr(cfg, "ae_drift_every_n", 1))
+    reenc = (enc + latent_head_flops(cfg, B, include_z2h=False)) // stride
     total = fwd + bwd + aux + reenc
     return {"forward": fwd, "backward": bwd, "aux_groups": aux,
-            "reencode": reenc, "total": total}
+            "reencode": reenc, "reencode_stride": stride, "total": total}
 
 
 def peak_flops_per_chip(device_kind: str, compute_dtype: str) -> float:

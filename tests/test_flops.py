@@ -46,3 +46,20 @@ def test_mfu_unknown_device_is_nan():
     out = mfu(_flagship_cfg(), B=128, T=17, seconds_per_step=0.01,
               device_kind="cpu")
     assert np.isnan(out["mfu"]) and out["peak_tflops"] == 0.0
+
+
+def test_reencode_flops_amortize_over_stride():
+    """ae_drift_every_n=N divides the re-encode FLOPs share (the device
+    lax.cond skips it off-stride), leaving everything else unchanged --
+    flops_per_step/MFU describe the average measured step."""
+    import dataclasses
+    from dvae_tpu.utils.flops import train_step_flops
+    cfg = _flagship_cfg()
+    f1 = train_step_flops(cfg, B=512, T=17)
+    f5 = train_step_flops(dataclasses.replace(cfg, ae_drift_every_n=5),
+                          B=512, T=17)
+    assert f5["reencode"] == f1["reencode"] // 5
+    assert f5["reencode_stride"] == 5 and f1["reencode_stride"] == 1
+    for k in ("forward", "backward", "aux_groups"):
+        assert f5[k] == f1[k]
+    assert f5["total"] == f1["total"] - (f1["reencode"] - f5["reencode"])

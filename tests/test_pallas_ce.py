@@ -127,3 +127,79 @@ def test_ce_matches_explicit_small_tile(monkeypatch):
     for a, bb in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-3, atol=2e-3)
+
+
+# ---------------- bf16 kernel dtype (round 5) ----------------
+
+def _bf16_ref_ce(h, w, b, target):
+    """The XLA CE path's bf16 convention (ops/fused_ce.py `dot`): bf16
+    matmul inputs, f32 accumulation, f32 everything after."""
+    logits = jax.lax.dot_general(
+        h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + b
+    return jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+        logits, target[:, None], axis=-1)[:, 0]
+
+
+def test_bf16_weights_ce_matches_bf16_xla_convention(problem):
+    """Pre-cast bf16 weights (compute_dtype="bfloat16") switch the kernel
+    matmuls to bf16 inputs / f32 accumulation -- CE must match the XLA CE
+    path's same-convention value, not drift to a third numeric."""
+    h, w, b, target = problem
+    ce, sampled = pallas_ce_sample(h, w.astype(jnp.bfloat16), b, target,
+                                   7, True)
+    want = _bf16_ref_ce(h, w, b, target)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    s = np.asarray(sampled)
+    assert (s >= 0).all() and (s < w.shape[0]).all()
+    # and far from the f32 kernel only at bf16 resolution
+    ce32, _ = pallas_ce_sample(h, w, b, target, 7, True)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(ce32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_weights_gradients_match_bf16_xla_convention(problem):
+    """Gradients under bf16 weights: dw comes back in w's dtype (as the
+    cotangent contract always required) and all three grads match the
+    XLA-convention reference at bf16 tolerance."""
+    h, w, b, target = problem
+    w16 = w.astype(jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    gw = jnp.asarray(rng.normal(size=8).astype(np.float32))
+
+    def loss_pl(h, w16, b):
+        ce, _ = pallas_ce_sample(h, w16, b, target, 3, True)
+        return (ce * gw).sum()
+
+    def loss_ref(h, w16, b):
+        logits = jax.lax.dot_general(
+            h.astype(jnp.bfloat16), w16, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + b
+        ce = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+            logits, target[:, None], axis=-1)[:, 0]
+        return (ce * gw).sum()
+
+    g1 = jax.grad(loss_pl, argnums=(0, 1, 2))(h, w16, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w16, b)
+    assert g1[1].dtype == jnp.bfloat16
+    for a, bb, tol in zip(g1, g2, (2e-2, 2e-2, 2e-2)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=tol, atol=tol)
+
+
+def test_f32_weights_keep_exact_f32_kernel(problem):
+    """The parity default (f32 weights) must be bit-identical to the
+    pre-round-5 all-f32 kernel: _kernel_dtype only triggers on bf16."""
+    from dvae_tpu.ops.pallas_ce import _kernel_dtype
+    h, w, b, target = problem
+    assert _kernel_dtype(w) == jnp.float32
+    assert _kernel_dtype(w.astype(jnp.bfloat16)) == jnp.bfloat16
+    ce, _ = pallas_ce_sample(h, w, b, target, 7, True)
+    logits = h @ w.T + b
+    want = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+        logits, target[:, None], axis=-1)[:, 0]
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
