@@ -29,6 +29,7 @@ from dvae_tpu.utils import enable_compilation_cache
 
 ae = 1
 B, S, unroll = 512, 64, 2
+cond = 1  # cond_sampler: 1 = kernel coin predication (round-5 default)
 for a in sys.argv[1:]:
     if a.startswith("--ae="):
         ae = int(a.split("=")[1])
@@ -36,6 +37,8 @@ for a in sys.argv[1:]:
         B = int(a.split("=")[1])
     if a.startswith("--steps="):
         S = int(a.split("=")[1])
+    if a.startswith("--cond="):
+        cond = int(a.split("=")[1])
 
 enable_compilation_cache("auto")
 jax.config.update("jax_default_prng_impl", "rbg")
@@ -48,10 +51,12 @@ cfg = ge._flagship_cfg(vocab_size=20000, emb=256, hidden=256, layers=2,
 cfg = dataclasses.replace(cfg, lstm_backend="scan",
                           compute_dtype="bfloat16",
                           fused_ce_backend="pallas",
-                          ae_drift_every_n=ae)
+                          ae_drift_every_n=ae,
+                          cond_sampler=bool(cond))
 r = time_fused_epoch(cfg, B=B, S=S, reps=4, unroll=unroll)
 print(json.dumps({
     "ae_drift_every_n": ae, "B": B, "S": S, "unroll": unroll,
+    "cond_sampler": bool(cond),
     "sec_per_step": r["sec_per_step"],
     "tokens_per_sec_per_chip": round(
         r["tokens_per_batch"] / r["sec_per_step"], 1),

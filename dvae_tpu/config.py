@@ -472,19 +472,12 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
     mult = math.lcm(n_model, pad_mult)
     padded_vocab = -1 if mult == 1 else -(-vocab_size // mult) * mult
 
-    # cond_sampler only affects the XLA fused-CE path (the pallas streaming
-    # kernel draws inline and takes no coin). The recommended production
-    # config is pallas + the cond_sampler default (true), so resolve the
-    # dead knob HERE -- one INFO line, not a UserWarning at every trace.
+    # cond_sampler applies to both fused-CE backends (round 5): the XLA
+    # path lax.cond-skips its sampler body on teacher-forced steps and
+    # the pallas kernel predicates its Gumbel block off via the same
+    # coin -- bit-identical outputs either way, so the knob needs no
+    # backend-dependent resolution here.
     cond_sampler = params.get("cond_sampler", True)
-    if cond_sampler and params.get("fused_ce_backend", "xla") == "pallas" \
-            and params.get("fused_decoder_ce", True):
-        import logging
-        logging.getLogger(__name__).info(
-            "cond_sampler has no effect under fused_ce_backend=pallas "
-            "(the streaming kernel draws inline); disabling it for this "
-            "run")
-        cond_sampler = False
 
     pw = params.get("dsc_pos_weights", {}) or {}
     for k in pw:

@@ -401,11 +401,11 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
             raise ValueError("pallas CE unsupported for these shapes")
         use_pallas_ce = ok and (cfg.fused_ce_backend == "pallas"
                                 or jax.default_backend() == "tpu")
-    # cond_sampler only applies to the XLA CE path (the pallas kernel
-    # draws inline and takes no coin). The explicit pallas backend already
-    # resolved cond_sampler=False at config build (config.py); under
-    # "auto" the knob is simply inert on the pallas leg -- no per-trace
-    # warning (VERDICT r4 #5).
+    # cond_sampler applies to BOTH CE backends (round 5): the XLA path
+    # lax.cond-skips its sampler body on teacher-forced steps, and the
+    # pallas kernel predicates its Gumbel block off via the same coin.
+    # Outputs are bit-identical either way -- the skipped sample is dead
+    # (jnp.where(coin, teacher, sampled) below never reads it).
 
     def step(carry, t):
         h, c, prev, ce_acc = carry
@@ -425,7 +425,8 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
                                       dtype=jnp.int32)
             ce_t, sampled = pallas_ce_sample(
                 x, out_w, out_b, target_t, seed,
-                jax.default_backend() != "tpu")
+                jax.default_backend() != "tpu",
+                coin=coin if cfg.cond_sampler else None)
         else:
             ce_t, sampled = out_proj_ce_sample(
                 x, out_w, out_b, target_t, k_samp, cfg.compute_dtype,

@@ -118,7 +118,7 @@ def _hash_uniform(seed, col, row):
     return x24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
 
 
-def _fwd_kernel(seed_ref, h_ref, w_ref, b_ref, tgt_ref,
+def _fwd_kernel(seed_ref, coin_ref, h_ref, w_ref, b_ref, tgt_ref,
                 ce_ref, samp_ref, lse_ref,
                 m_acc, s_acc, tgt_acc, gmax_acc, gidx_acc,
                 *, V: int, tile_v: int):
@@ -152,19 +152,27 @@ def _fwd_kernel(seed_ref, h_ref, w_ref, b_ref, tgt_ref,
     tgt_acc[:] = tgt_acc[:] + jnp.sum(
         jnp.where(is_tgt, logits, 0.0), axis=1, keepdims=True)
 
-    # Gumbel-max sampling: g = logits + Gumbel(0,1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (B, tile_v), 0)
-    u = _hash_uniform(seed_ref[0], col, row)
-    g = logits + (-jnp.log(-jnp.log(u)))
-    g = jnp.where(valid, g, _NEG_INF)
-    tile_gmax = jnp.max(g, axis=1, keepdims=True)
-    # min over tying columns (sum would add tied indices together and can
-    # produce an out-of-vocab token id)
-    tile_gidx = jnp.min(
-        jnp.where(g == tile_gmax, col, V), axis=1, keepdims=True)
-    better = tile_gmax > gmax_acc[:]
-    gmax_acc[:] = jnp.where(better, tile_gmax, gmax_acc[:])
-    gidx_acc[:] = jnp.where(better, tile_gidx, gidx_acc[:])
+    # Gumbel-max sampling: g = logits + Gumbel(0,1). Skipped when the
+    # teacher-forcing coin says this step's sample is dead (the caller
+    # discards it via jnp.where(coin, teacher, sampled)) -- the gumbel
+    # block is the kernel's dominant VPU work (hash + two logs per
+    # logit), so predicating it off recovers real time on TF steps.
+    # On skip, samp comes out as the accumulator init (token id 0),
+    # which the caller never reads.
+    @pl.when(coin_ref[0] == 0)
+    def _():
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, tile_v), 0)
+        u = _hash_uniform(seed_ref[0], col, row)
+        g = logits + (-jnp.log(-jnp.log(u)))
+        g = jnp.where(valid, g, _NEG_INF)
+        tile_gmax = jnp.max(g, axis=1, keepdims=True)
+        # min over tying columns (sum would add tied indices together and
+        # can produce an out-of-vocab token id)
+        tile_gidx = jnp.min(
+            jnp.where(g == tile_gmax, col, V), axis=1, keepdims=True)
+        better = tile_gmax > gmax_acc[:]
+        gmax_acc[:] = jnp.where(better, tile_gmax, gmax_acc[:])
+        gidx_acc[:] = jnp.where(better, tile_gidx, gidx_acc[:])
 
     @pl.when(j == nj - 1)
     def _():
@@ -174,7 +182,7 @@ def _fwd_kernel(seed_ref, h_ref, w_ref, b_ref, tgt_ref,
         samp_ref[:] = gidx_acc[:].astype(jnp.int32)
 
 
-def _fwd_call(h, w_t, b2, target2, seed, interpret):
+def _fwd_call(h, w_t, b2, target2, seed, coin, interpret):
     B, H = h.shape
     V = w_t.shape[1]
     tile_v = _tile_or_raise(B, H)
@@ -185,6 +193,7 @@ def _fwd_call(h, w_t, b2, target2, seed, interpret):
         grid=(nj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # coin
             pl.BlockSpec((B, H), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),              # h
             pl.BlockSpec((H, tile_v), lambda j: (0, j),
@@ -213,7 +222,7 @@ def _fwd_call(h, w_t, b2, target2, seed, interpret):
                         pltpu.VMEM((B, 1), jnp.float32),
                         pltpu.VMEM((B, 1), jnp.int32)],
         interpret=interpret,
-    )(seed, h, w_t, b2, target2)
+    )(seed, coin, h, w_t, b2, target2)
     return ce[:, 0], samp[:, 0], lse[:, 0]
 
 
@@ -308,12 +317,26 @@ def _bwd_call(h, w_t, b2, target2, lse2, gce2, interpret):
 
 # ----------------------------- public op ----------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def pallas_ce_sample(h, w, b, target, seed, interpret=False):
-    """h [B,H], w [V,H], b [V], target [B] int32, seed int32 scalar ->
-    (ce [B], sampled [B]). Streaming-tile CE + Gumbel-max sampling."""
-    (ce, samp), _ = _fwd_impl(h, w, b, target, seed, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _pallas_ce_core(h, w, b, target, seed, coin, interpret):
+    (ce, samp), _ = _fwd_impl(h, w, b, target, seed, coin, interpret)
     return ce, samp
+
+
+def pallas_ce_sample(h, w, b, target, seed, interpret=False, coin=None):
+    """h [B,H], w [V,H], b [V], target [B] int32, seed int32 scalar ->
+    (ce [B], sampled [B]). Streaming-tile CE + Gumbel-max sampling.
+
+    coin (optional traced scalar bool/int): "this step is teacher-forced,
+    the sample is dead" -- when nonzero the kernel predicates the whole
+    Gumbel block off (its dominant VPU work) and returns sampled=0, which
+    the caller's jnp.where(coin, teacher, sampled) never reads. CE values
+    and gradients are identical either way; this is the pallas leg of the
+    `cond_sampler` knob (the XLA leg lax.cond-skips its sampler body the
+    same way, ops/fused_ce.py). None = always draw."""
+    if coin is None:
+        coin = jnp.zeros((), jnp.int32)
+    return _pallas_ce_core(h, w, b, target, seed, coin, interpret)
 
 
 def _kernel_dtype(w):
@@ -328,19 +351,20 @@ def _kernel_dtype(w):
     return w.dtype if w.dtype == jnp.bfloat16 else jnp.float32
 
 
-def _fwd_impl(h, w, b, target, seed, interpret):
+def _fwd_impl(h, w, b, target, seed, coin, interpret):
     kdt = _kernel_dtype(w)
     w_t = w.T.astype(kdt)
     b2 = b.reshape(1, -1).astype(jnp.float32)
     target2 = target.reshape(-1, 1).astype(jnp.int32)
     seed1 = jnp.asarray(seed, jnp.int32).reshape(1)
+    coin1 = jnp.asarray(coin, jnp.int32).reshape(1)
     ce, samp, lse = _fwd_call(h.astype(kdt), w_t, b2, target2,
-                              seed1, interpret)
+                              seed1, coin1, interpret)
     return (ce, samp), (h, w, b, target2, lse)
 
 
-def _vjp_fwd(h, w, b, target, seed, interpret):
-    (ce, samp), res = _fwd_impl(h, w, b, target, seed, interpret)
+def _vjp_fwd(h, w, b, target, seed, coin, interpret):
+    (ce, samp), res = _fwd_impl(h, w, b, target, seed, coin, interpret)
     return (ce, samp), res
 
 
@@ -357,7 +381,7 @@ def _vjp_bwd(interpret, res, grads):
     # the [H,V] gradient write -- the cotangent was ALWAYS handed back
     # as w.dtype, so downstream accumulation precision is unchanged)
     return (dh.astype(h.dtype), dw_t.T.astype(w.dtype), db.astype(b.dtype),
-            None, None)
+            None, None, None)
 
 
-pallas_ce_sample.defvjp(_vjp_fwd, _vjp_bwd)
+_pallas_ce_core.defvjp(_vjp_fwd, _vjp_bwd)

@@ -59,6 +59,31 @@ def test_sampling_respects_distribution():
         np.testing.assert_array_equal(np.asarray(sampled), [123] * B)
 
 
+def test_coin_skips_sampler_without_touching_ce_or_grads(problem):
+    """coin=1 (teacher-forced step, sample dead): the Gumbel block is
+    predicated off -- sampled comes back as the accumulator init (0) --
+    while CE values and gradients are bit-identical to coin=0. A traced
+    coin must work too (it is scanned over in the decode loop)."""
+    h, w, b, target = problem
+    ce0, s0 = pallas_ce_sample(h, w, b, target, 7, True)
+    ce1, s1 = pallas_ce_sample(h, w, b, target, 7, True,
+                               coin=jnp.asarray(1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(ce0), np.asarray(ce1))
+    np.testing.assert_array_equal(np.asarray(s1), np.zeros(8, np.int32))
+    assert np.any(np.asarray(s0) != 0)
+
+    def loss(h, w, b, coin):
+        ce, _ = pallas_ce_sample(h, w, b, target, 3, True, coin=coin)
+        return ce.sum()
+
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(h, w, b,
+                                           jnp.asarray(0, jnp.int32))
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(h, w, b,
+                                           jnp.asarray(1, jnp.int32))
+    for a, c in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_gradients_match_explicit(problem):
     h, w, b, target = problem
     rng = np.random.default_rng(1)

@@ -121,10 +121,13 @@ def test_driver_ae_drift_strided_logs_only_computed_steps(tmp_path,
         avg, np.mean([strided[s] for s in (0, 2, 4)]), rtol=1e-6)
 
 
-def test_cond_sampler_resolved_off_under_pallas_backend():
-    """fused_ce_backend=pallas + cond_sampler default/true resolves to
-    cond_sampler=False at config build -- one INFO log, never a per-trace
-    UserWarning (VERDICT r4 #5)."""
+def test_cond_sampler_honored_under_pallas_backend():
+    """cond_sampler applies to the pallas CE backend too (round 5): the
+    kernel predicates its Gumbel block off on teacher-forced steps via
+    the same coin the XLA path uses. The knob survives config build
+    unchanged, tracing the pallas decode emits no warnings (VERDICT r4
+    #5), and the decode outputs are bit-identical with the knob on or
+    off (the skipped sample is dead)."""
     from dvae_tpu.config import build_model_config
     params = {
         "latent_dims": {"total": 4, "polarity": 1}, "lambdas":
@@ -137,12 +140,11 @@ def test_cond_sampler_resolved_off_under_pallas_backend():
     cfg = build_model_config(params, vocab_size=32,
                              label_dims={"polarity": 1}, sos_idx=2,
                              eos_idx=3, max_length=5)
-    assert cfg.cond_sampler is False
-    # the xla backend keeps the default
-    cfg_xla = build_model_config(dict(params, fused_ce_backend="xla"),
+    assert cfg.cond_sampler is True
+    cfg_off = build_model_config(dict(params, cond_sampler=False),
                                  vocab_size=32, label_dims={"polarity": 1},
                                  sos_idx=2, eos_idx=3, max_length=5)
-    assert cfg_xla.cond_sampler is True
+    assert cfg_off.cond_sampler is False
 
     # tracing the pallas decode path emits no warnings
     from dvae_tpu.models import init_vae_params
@@ -158,6 +160,19 @@ def test_cond_sampler_resolved_off_under_pallas_backend():
                 consts, cfg, X, X, lengths, jax.random.PRNGKey(1),
                 jnp.asarray(0.5), train=True), p)
     assert "recon_ce" in out
+
+    # knob on vs off: CE and predictions bit-identical (interpret-mode
+    # kernel on the CPU mesh; tf_prob strictly inside (0,1) so the scan
+    # sees both coin outcomes)
+    fwd = lambda c: forward_with_ce(
+        {"main": p["main"], "adv": p["adv"], "mi": p["mi"]},
+        consts, c, X, X, lengths, jax.random.PRNGKey(1),
+        jnp.asarray(0.5), train=True)
+    out_on, out_off = fwd(cfg), fwd(cfg_off)
+    np.testing.assert_array_equal(np.asarray(out_on["recon_ce"]),
+                                  np.asarray(out_off["recon_ce"]))
+    np.testing.assert_array_equal(np.asarray(out_on["token_predictions"]),
+                                  np.asarray(out_off["token_predictions"]))
 
 
 def test_pallas_ce_unsupported_shape_raises_clearly():
