@@ -30,6 +30,7 @@ from dvae_tpu.utils import enable_compilation_cache
 ae = 1
 B, S, unroll = 512, 64, 2
 cond = 1  # cond_sampler: 1 = kernel coin predication (round-5 default)
+bwd = "per_step"  # fused_ce_bwd: "batched" = cross-time CE backward
 for a in sys.argv[1:]:
     if a.startswith("--ae="):
         ae = int(a.split("=")[1])
@@ -39,6 +40,8 @@ for a in sys.argv[1:]:
         S = int(a.split("=")[1])
     if a.startswith("--cond="):
         cond = int(a.split("=")[1])
+    if a.startswith("--bwd="):
+        bwd = a.split("=")[1]
 
 enable_compilation_cache("auto")
 jax.config.update("jax_default_prng_impl", "rbg")
@@ -52,11 +55,12 @@ cfg = dataclasses.replace(cfg, lstm_backend="scan",
                           compute_dtype="bfloat16",
                           fused_ce_backend="pallas",
                           ae_drift_every_n=ae,
-                          cond_sampler=bool(cond))
+                          cond_sampler=bool(cond),
+                          fused_ce_bwd=bwd)
 r = time_fused_epoch(cfg, B=B, S=S, reps=4, unroll=unroll)
 print(json.dumps({
     "ae_drift_every_n": ae, "B": B, "S": S, "unroll": unroll,
-    "cond_sampler": bool(cond),
+    "cond_sampler": bool(cond), "fused_ce_bwd": bwd,
     "sec_per_step": r["sec_per_step"],
     "tokens_per_sec_per_chip": round(
         r["tokens_per_batch"] / r["sec_per_step"], 1),

@@ -130,6 +130,16 @@ OPTIONAL_SCHEMA: Dict[str, Tuple[type, Any]] = {
     "mi_estimator": (str, "club"),
     "fused_decoder_ce": (bool, True),
     "fused_ce_backend": (str, "xla"),
+    # Backward strategy for the pallas fused CE: "per_step" (each decode
+    # timestep's custom VJP emits its own [H, V] dW, which the scan
+    # accumulates -- reference-shaped AD) or "batched" (the decode scan
+    # runs the CE kernel forward-only and gradients attach post-scan
+    # through ONE cross-time kernel sweep: the [H, V] weight cotangent
+    # is computed once instead of T-1 times, deleting the scan's per-
+    # step gradient-accumulator traffic). Same softmax-CE math; the
+    # batched dW accumulates in f32 per vocab tile (numerically stronger
+    # than the per-step bf16 accumulation). Ignored on the XLA CE leg.
+    "fused_ce_bwd": (str, "per_step"),
     # Sampling algorithm inside the fused decoder CE op: "gumbel"
     # (jax.random.categorical -- bit-identical draws to the reference
     # path, one random number per logit) or "cdf" (inverse-CDF -- same
@@ -337,6 +347,8 @@ class ModelConfig:
     # [B, V] tensor anywhere; samples use the in-kernel PRNG so draws are
     # distribution-equal but not bit-equal to the XLA path), or "auto".
     fused_ce_backend: str = "xla"
+    # see OPTIONAL_SCHEMA["fused_ce_bwd"]; "per_step" = reference-shaped AD
+    fused_ce_bwd: str = "per_step"
     # see OPTIONAL_SCHEMA["decoder_sampler"]
     decoder_sampler: str = "gumbel"
     # see OPTIONAL_SCHEMA["ae_drift_every_n"]; 1 = reference parity
@@ -479,6 +491,12 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
     # backend-dependent resolution here.
     cond_sampler = params.get("cond_sampler", True)
 
+    fused_ce_bwd = params.get("fused_ce_bwd", "per_step")
+    if fused_ce_bwd not in ("per_step", "batched"):
+        raise ValueError(
+            f"fused_ce_bwd must be 'per_step' or 'batched', got "
+            f"{fused_ce_bwd!r}")
+
     pw = params.get("dsc_pos_weights", {}) or {}
     for k in pw:
         if k not in dsc_names:
@@ -521,6 +539,7 @@ def build_model_config(params: Dict[str, Any], vocab_size: int,
         mi_estimator=params.get("mi_estimator", "club"),
         fused_decoder_ce=params.get("fused_decoder_ce", True),
         fused_ce_backend=params.get("fused_ce_backend", "xla"),
+        fused_ce_bwd=fused_ce_bwd,
         decoder_sampler=params.get("decoder_sampler", "gumbel"),
         ae_drift_every_n=max(1, params.get("ae_drift_every_n", 1)),
         cond_sampler=cond_sampler,

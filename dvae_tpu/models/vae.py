@@ -406,6 +406,16 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
     # pallas kernel predicates its Gumbel block off via the same coin.
     # Outputs are bit-identical either way -- the skipped sample is dead
     # (jnp.where(coin, teacher, sampled) below never reads it).
+    #
+    # fused_ce_bwd="batched" (pallas leg only): the scan runs the CE
+    # kernel FORWARD-ONLY and gradients attach post-scan through one
+    # cross-time kernel sweep -- the [H, V] weight cotangent is computed
+    # once instead of T-1 times and the scan carries no [H, V] gradient
+    # accumulator (ops/pallas_ce.py pallas_ce_attach_grads). CE values
+    # and predictions are identical; gradients are the same softmax-CE
+    # math with the dW sum re-associated (f32 per vocab tile).
+    use_batched_bwd = use_pallas_ce and cfg.fused_ce_bwd == "batched"
+    interpret = jax.default_backend() != "tpu"
 
     def step(carry, t):
         h, c, prev, ce_acc = carry
@@ -419,14 +429,21 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
         # sampler body on teacher-forced steps (the draw is dead there;
         # keys are functional, so drawing the coin first changes nothing)
         coin = jax.random.bernoulli(k_tf, tf_prob)
+        lse_t = jnp.zeros((B,), jnp.float32)
         if use_pallas_ce:
-            from dvae_tpu.ops.pallas_ce import pallas_ce_sample
+            from dvae_tpu.ops.pallas_ce import (pallas_ce_sample,
+                                                pallas_ce_sample_fwd)
             seed = jax.random.randint(k_samp, (), 0, 2 ** 31 - 1,
                                       dtype=jnp.int32)
-            ce_t, sampled = pallas_ce_sample(
-                x, out_w, out_b, target_t, seed,
-                jax.default_backend() != "tpu",
-                coin=coin if cfg.cond_sampler else None)
+            coin_arg = coin if cfg.cond_sampler else None
+            if use_batched_bwd:
+                ce_t, sampled, lse_t = pallas_ce_sample_fwd(
+                    x, out_w, out_b, target_t, seed, interpret,
+                    coin=coin_arg)
+            else:
+                ce_t, sampled = pallas_ce_sample(
+                    x, out_w, out_b, target_t, seed, interpret,
+                    coin=coin_arg)
         else:
             ce_t, sampled = out_proj_ce_sample(
                 x, out_w, out_b, target_t, k_samp, cfg.compute_dtype,
@@ -436,11 +453,22 @@ def decode_teacher_forced_ce(main: Dict, constants: Dict, cfg: ModelConfig,
         teacher = jax.lax.dynamic_index_in_dim(inputs, t, axis=1,
                                                keepdims=False)
         nxt = jnp.where(coin, teacher, sampled.astype(inputs.dtype))
-        return (h, c, nxt, ce_acc), nxt
+        ys = (nxt, x, lse_t) if use_batched_bwd else (nxt,)
+        return (h, c, nxt, ce_acc), ys
 
-    (_, _, _, ce_acc), preds_seq = jax.lax.scan(
+    (_, _, _, ce_acc), ys = jax.lax.scan(
         step, (h, c, prev0, jnp.zeros((B,), jnp.float32)),
         jnp.arange(1, T), unroll=cfg.decode_unroll)
+    preds_seq = ys[0]
+    if use_batched_bwd:
+        _, h_seq, lse_seq = ys
+        from dvae_tpu.ops.pallas_ce import pallas_ce_attach_grads
+        mask = (jnp.arange(1, T)[:, None] < lengths[None, :]).astype(
+            jnp.float32)                                 # [T-1, B]
+        targets_t = jnp.swapaxes(targets[:, 1:], 0, 1)   # [T-1, B]
+        ce_acc = pallas_ce_attach_grads(
+            ce_acc, h_seq, out_w, out_b, targets_t, lse_seq, mask,
+            interpret)
     # position 0: constant CE of the hardcoded SOS one-hot row
     ce = ce_acc + sos_position_ce(cfg.vocab_size)
     preds0 = jnp.full((B, 1), cfg.sos_idx, dtype=inputs.dtype)

@@ -385,3 +385,222 @@ def _vjp_bwd(interpret, res, grads):
 
 
 _pallas_ce_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------- batched (cross-time) backward ----------------------
+#
+# The per-step custom VJP above makes the decode lax.scan accumulate a
+# full [H, V] weight cotangent EVERY timestep: T-1 dW kernel writes plus
+# T-1 read-modify-writes of the scan's carried [H, V] gradient
+# accumulator. But unlike the forward (whose sampled-feedback loop is
+# inherently sequential, reference model.py:463-472), the CE/projection
+# BACKWARD has no time dependency: all h_t are known after the forward.
+# So the production decode can run the in-scan kernel forward-only
+# (under stop_gradient) and attach the CE gradients post-scan through
+# ONE batched kernel over the stacked [T', B, H] hidden states, where
+# the vocab-tile grid axis is OUTER: each [H, tile_v] dW tile stays
+# resident in VMEM accumulating across ALL row blocks and is written
+# once; dh streams out as per-vocab-tile partials reduced outside.
+# Config knob `fused_ce_bwd: "batched"` (default "per_step" keeps this
+# file's per-step VJP).
+
+def _bwd_batched_kernel(h_ref, w_ref, b_ref, tgt_ref, lse_ref, g_ref,
+                        dw_ref, dh_ref, db_ref, dw_acc, db_acc,
+                        *, V: int, tile_v: int, RB: int):
+    j = pl.program_id(0)          # vocab tile -- OUTER
+    i = pl.program_id(1)          # row block  -- INNER (fastest)
+    nj = pl.num_programs(0)
+    ni = pl.num_programs(1)
+
+    logits = jax.lax.dot(h_ref[:], w_ref[:],
+                         preferred_element_type=jnp.float32) + b_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (RB, tile_v), 1) + j * tile_v
+    valid = col < V
+    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
+    onehot = jnp.where(col == tgt_ref[:], 1.0, 0.0)
+    dlogits = g_ref[:] * (p - onehot)                    # [RB, tile_v] f32
+    dlog_k = dlogits.astype(h_ref.dtype)
+
+    # dW tile: accumulate in f32 scratch while this vocab tile is
+    # resident (i sweeps all row blocks before j advances); write once.
+    @pl.when(i == 0)
+    def _():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        db_acc[:] = jnp.zeros_like(db_acc)
+    dw_acc[:] = dw_acc[:] + jax.lax.dot_general(
+        h_ref[:], dlog_k, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [H, tile_v]
+    db_acc[:] = db_acc[:] + jnp.sum(dlogits, axis=0, keepdims=True)
+
+    @pl.when(i == ni - 1)
+    def _():
+        dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
+        db_ref[:] = db_acc[:]
+
+    # dh: emitted as per-vocab-tile PARTIALS [nj, R, H] (summed by XLA
+    # outside) rather than accumulated into one shared [R, H] window --
+    # a shared window would make every grid step read-modify-write the
+    # same buffer, serializing the pipeline (measured +5.4% step time
+    # in the v1 design); distinct (j, i) output blocks keep the grid
+    # free-running and the partial sum costs one streaming reduction.
+    H = w_ref.shape[0]
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (H, tile_v), 1) + j * tile_v
+    w_masked = jnp.where(wcol < V, w_ref[:], jnp.zeros((), w_ref.dtype))
+    dh_ref[0] = jax.lax.dot_general(
+        dlog_k, w_masked, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [RB, H]
+
+
+def _batched_geometry(R: int, H: int) -> Tuple[int, int, int]:
+    """(tile_v, RB, rows_per_call) for the batched backward, sized on the
+    same conservative all-f32 VMEM model as _pick_tile_v (14 MiB budget
+    against the 16 MiB scoped limit). Larger vocab tiles are preferred
+    (fewer grid columns -> fewer dW flushes and fatter matmuls); rows per
+    call is then maximized so W streams as few times as possible."""
+    budget = 14 * 1024 * 1024
+    for tile_v in _TILE_LADDER:
+        for RB in (512, 256, 128, 64, 32, 16, 8):
+            need = 4 * (3 * H * tile_v           # dw_acc + w tile x2
+                        + 3 * RB * tile_v        # live [RB, tile_v] temps
+                        + 2 * RB * H             # h block x2
+                        + 2 * RB * H             # dh partial block x2
+                        + 2 * tile_v             # b + db_acc
+                        + 3 * 128 * RB)          # lane-padded [RB,1] refs
+            if need <= budget:
+                # no per-call row cap: dh partials stream out per block,
+                # so the whole (padded) row range fits one call -- W and
+                # the dW accumulation then happen exactly once
+                return tile_v, RB, -(-R // RB) * RB
+    return 0, 0, 0
+
+
+def pallas_ce_batched_bwd_supported(H: int) -> bool:
+    return H % 128 == 0 and _batched_geometry(8, H)[0] > 0
+
+
+def _bwd_batched_call(h2, w_t, b2, tgt2, lse2, g2, geometry, interpret):
+    """One batched-backward invocation over R stacked rows.
+
+    h2 [R, H] (kernel dtype), tgt2/lse2/g2 [R, 1], w_t [H, V], b2 [1, V]
+    -> (dw_t [H, V] kernel dtype, dh [R, H] f32, db [V] f32). R must be
+    a multiple of the geometry's row block; the caller pads (the
+    geometry is computed ONCE pre-padding and passed through so padding
+    and blocking always agree)."""
+    R, H = h2.shape
+    V = w_t.shape[1]
+    tile_v, RB, rows_per_call = geometry
+    nj = pl.cdiv(V, tile_v)
+    dw_parts, dh_parts, db_parts = [], [], []
+    for r0 in range(0, R, rows_per_call):
+        rows = min(rows_per_call, R - r0)
+        ni = rows // RB
+        kernel = functools.partial(_bwd_batched_kernel, V=V,
+                                   tile_v=tile_v, RB=RB)
+        dw_t, dh, db2 = pl.pallas_call(
+            kernel,
+            grid=(nj, ni),
+            in_specs=[
+                pl.BlockSpec((RB, H), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),   # h rows
+                pl.BlockSpec((H, tile_v), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),   # w tile
+                pl.BlockSpec((1, tile_v), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),   # b tile
+                pl.BlockSpec((RB, 1), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),   # targets
+                pl.BlockSpec((RB, 1), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),   # lse
+                pl.BlockSpec((RB, 1), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),   # g
+            ],
+            out_specs=[
+                pl.BlockSpec((H, tile_v), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RB, H), lambda j, i: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_v), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((H, V), w_t.dtype),
+                jax.ShapeDtypeStruct((nj, rows, H), jnp.float32),
+                jax.ShapeDtypeStruct((1, V), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((H, tile_v), jnp.float32),
+                            pltpu.VMEM((1, tile_v), jnp.float32)],
+            interpret=interpret,
+        )(h2[r0:r0 + rows], w_t, b2, tgt2[r0:r0 + rows],
+          lse2[r0:r0 + rows], g2[r0:r0 + rows])
+        dw_parts.append(dw_t)
+        dh_parts.append(dh.sum(axis=0))      # reduce vocab-tile partials
+        db_parts.append(db2[0])
+    dw_t = dw_parts[0] if len(dw_parts) == 1 else sum(
+        p.astype(jnp.float32) for p in dw_parts).astype(dw_parts[0].dtype)
+    db = db_parts[0] if len(db_parts) == 1 else sum(db_parts)
+    return dw_t, jnp.concatenate(dh_parts, axis=0), db
+
+
+def pallas_ce_sample_fwd(h, w, b, target, seed, interpret=False, coin=None):
+    """Forward-only streaming CE + sampling: (ce [B], sampled [B],
+    lse [B]). No gradient path -- callers on the batched-backward leg
+    stop_gradient the inputs and attach gradients post-scan via
+    pallas_ce_attach_grads. Values are IDENTICAL to pallas_ce_sample
+    (same kernel)."""
+    if coin is None:
+        coin = jnp.zeros((), jnp.int32)
+    (ce, samp), (_, _, _, _, lse) = _fwd_impl(
+        jax.lax.stop_gradient(h), jax.lax.stop_gradient(w),
+        jax.lax.stop_gradient(b), target, seed, coin, interpret)
+    return ce, samp, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def pallas_ce_attach_grads(ce, h_all, w, b, targets, lse_all, mask,
+                           interpret=False):
+    """Identity on `ce` that carries the batched cross-time CE backward.
+
+    ce [B]: the in-scan mask-weighted CE sum (computed forward-only);
+    h_all [T', B, H]: stacked decoder hidden states (scan outputs);
+    targets [T', B] int32; lse_all [T', B] f32 (saved by the forward
+    kernel); mask [T', B] f32 (1.0 where t < length). Forward returns
+    `ce` unchanged; backward computes (dh_all, dw, db) in one batched
+    kernel sweep instead of T' per-step sweeps -- mathematically the
+    same softmax-CE gradients (g * (softmax - onehot) contracted with h
+    and W), accumulated in f32 per vocab tile rather than bf16 per
+    timestep, so the batched dW is the numerically STRONGER order."""
+    return ce
+
+
+def _attach_vjp_fwd(ce, h_all, w, b, targets, lse_all, mask, interpret):
+    return ce, (h_all, w, b, targets, lse_all, mask)
+
+
+def _attach_vjp_bwd(interpret, res, g_ce):
+    h_all, w, b, targets, lse_all, mask = res
+    Tp, B, H = h_all.shape
+    R = Tp * B
+    kdt = _kernel_dtype(w)
+    g_rows = (g_ce[None, :] * mask).reshape(R, 1).astype(jnp.float32)
+    h2 = h_all.reshape(R, H).astype(kdt)
+    tgt2 = targets.reshape(R, 1).astype(jnp.int32)
+    lse2 = lse_all.reshape(R, 1).astype(jnp.float32)
+    geometry = _batched_geometry(R, H)
+    if geometry[0] == 0:
+        raise ValueError(
+            f"pallas batched CE backward unsupported for R={R}, H={H}")
+    pad = (-R) % geometry[1]
+    if pad:
+        # padded rows are inert: g = 0 makes dlogits exactly 0 there
+        h2 = jnp.pad(h2, ((0, pad), (0, 0)))
+        tgt2 = jnp.pad(tgt2, ((0, pad), (0, 0)))
+        lse2 = jnp.pad(lse2, ((0, pad), (0, 0)))
+        g_rows = jnp.pad(g_rows, ((0, pad), (0, 0)))
+    dw_t, dh, db = _bwd_batched_call(
+        h2, w.T.astype(kdt), b.reshape(1, -1).astype(jnp.float32),
+        tgt2, lse2, g_rows, geometry, interpret)
+    dh_all = dh[:R].reshape(Tp, B, H).astype(h_all.dtype)
+    return (g_ce, dh_all, dw_t.T.astype(w.dtype), db.astype(b.dtype),
+            None, None, None)
+
+
+pallas_ce_attach_grads.defvjp(_attach_vjp_fwd, _attach_vjp_bwd)

@@ -228,3 +228,103 @@ def test_f32_weights_keep_exact_f32_kernel(problem):
         logits, target[:, None], axis=-1)[:, 0]
     np.testing.assert_allclose(np.asarray(ce), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------- batched cross-time backward (round 5) ----------------
+
+def test_batched_bwd_matches_per_step_grads():
+    """pallas_ce_attach_grads' single batched sweep produces the same
+    (dh, dw, db) as differentiating the per-step kernel sum -- same
+    softmax-CE math with the dW accumulation re-associated (f32 per
+    vocab tile instead of per timestep). R = 3*8 = 24 rows is NOT a
+    multiple of the geometry's row block, exercising the zero-g row
+    padding path."""
+    from dvae_tpu.ops.pallas_ce import (pallas_ce_attach_grads,
+                                        pallas_ce_sample,
+                                        pallas_ce_sample_fwd)
+    rng = np.random.default_rng(4)
+    Tp, B, H, V = 3, 8, 128, 700
+    h_all = jnp.asarray(rng.normal(size=(Tp, B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    targets = jnp.asarray(rng.integers(0, V, size=(Tp, B)).astype(np.int32))
+    mask = jnp.asarray((rng.random((Tp, B)) < 0.8).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=B).astype(np.float32))
+
+    def loss_per_step(h_all, w, b):
+        ce = jnp.zeros((B,), jnp.float32)
+        for t in range(Tp):
+            ce_t, _ = pallas_ce_sample(h_all[t], w, b, targets[t], t, True)
+            ce = ce + ce_t * mask[t]
+        return (ce * r).sum()
+
+    def loss_batched(h_all, w, b):
+        ce = jnp.zeros((B,), jnp.float32)
+        lses = []
+        for t in range(Tp):
+            ce_t, _, lse_t = pallas_ce_sample_fwd(h_all[t], w, b,
+                                                  targets[t], t, True)
+            ce = ce + ce_t * mask[t]
+            lses.append(lse_t)
+        ce = pallas_ce_attach_grads(ce, h_all, w, b, targets,
+                                    jnp.stack(lses), mask, True)
+        return (ce * r).sum()
+
+    v1, g1 = jax.value_and_grad(loss_per_step, argnums=(0, 1, 2))(
+        h_all, w, b)
+    v2, g2 = jax.value_and_grad(loss_batched, argnums=(0, 1, 2))(
+        h_all, w, b)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_batched_bwd_bf16_weights_match_per_step():
+    """Under pre-cast bf16 weights the batched backward follows the same
+    kernel-dtype convention as the per-step VJP (bf16 matmul inputs, f32
+    accumulation, dw handed back as w.dtype)."""
+    from dvae_tpu.ops.pallas_ce import (pallas_ce_attach_grads,
+                                        pallas_ce_sample,
+                                        pallas_ce_sample_fwd)
+    rng = np.random.default_rng(6)
+    Tp, B, H, V = 2, 8, 128, 300
+    h_all = jnp.asarray(rng.normal(size=(Tp, B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32) * 0.05
+                    ).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    targets = jnp.asarray(rng.integers(0, V, size=(Tp, B)).astype(np.int32))
+    mask = jnp.ones((Tp, B), jnp.float32)
+
+    def loss_per_step(h_all, w, b):
+        ce = jnp.zeros((B,), jnp.float32)
+        for t in range(Tp):
+            ce_t, _ = pallas_ce_sample(h_all[t], w, b, targets[t], t, True)
+            ce = ce + ce_t * mask[t]
+        return ce.sum()
+
+    def loss_batched(h_all, w, b):
+        ce = jnp.zeros((B,), jnp.float32)
+        lses = []
+        for t in range(Tp):
+            ce_t, _, lse_t = pallas_ce_sample_fwd(h_all[t], w, b,
+                                                  targets[t], t, True)
+            ce = ce + ce_t * mask[t]
+            lses.append(lse_t)
+        ce = pallas_ce_attach_grads(ce, h_all, w, b, targets,
+                                    jnp.stack(lses), mask, True)
+        return ce.sum()
+
+    g1 = jax.grad(loss_per_step, argnums=(0, 1, 2))(h_all, w, b)
+    g2 = jax.grad(loss_batched, argnums=(0, 1, 2))(h_all, w, b)
+    assert g1[1].dtype == g2[1].dtype == jnp.bfloat16
+    # dw atol = one bf16 ulp of the per-timestep intermediates: the
+    # per-step path rounds each timestep's dw tile to bf16 BEFORE the
+    # cross-time add, the batched path accumulates f32 and rounds once
+    # -- under cancellation the per-step result is off by up to an ulp
+    # of the larger cancelling term (the batched order is the stronger
+    # one; observed 2/38400 elements at exactly that scale).
+    for a, bb, atol in zip(g1, g2, (2e-3, 8e-3, 2e-3)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=2e-2, atol=atol)

@@ -250,3 +250,55 @@ def test_club_factorized_negative_never_flips_sign():
                                       jnp.asarray(mask)))
     big = float(np.abs(positive).sum(-1).mean())
     np.testing.assert_allclose(got_real, want, atol=4e-7 * big)
+
+
+def test_fused_ce_bwd_batched_decode_equivalence():
+    """fused_ce_bwd="batched" (the cross-time CE backward,
+    ops/pallas_ce.py pallas_ce_attach_grads): forward values and token
+    predictions are IDENTICAL to the per-step path (the forward kernel
+    is unchanged), and the loss gradients through the full decode match
+    (same softmax-CE math with the dW accumulation re-associated)."""
+    from dvae_tpu.config import build_model_config
+    from dvae_tpu.models import init_vae_params
+    from dvae_tpu.models.vae import forward_with_ce
+    params = {
+        "latent_dims": {"total": 4, "polarity": 1}, "lambdas":
+        {"default": 0.01}, "embedding_dim": 8, "hidden_dim": 128,
+        "num_rnn_layers": 1, "bidirectional_encoder": True,
+        "bow_encoder": False, "encoder_dropout": 0.0,
+        "decoder_dropout": 0.0, "adversarial_loss": False,
+        "mi_loss": False, "fused_ce_backend": "pallas",
+    }
+    mk = lambda bwd: build_model_config(
+        dict(params, fused_ce_bwd=bwd), vocab_size=32,
+        label_dims={"polarity": 1}, sos_idx=2, eos_idx=3, max_length=5)
+    cfg_ps, cfg_b = mk("per_step"), mk("batched")
+    assert cfg_b.fused_ce_bwd == "batched"
+    with pytest.raises(ValueError, match="fused_ce_bwd"):
+        mk("bogus")
+
+    p, consts = init_vae_params(jax.random.PRNGKey(0), cfg_ps)
+    X = jnp.full((8, 5), 4, jnp.int32).at[:, 0].set(2)
+    lengths = jnp.asarray([5, 5, 3, 5, 2, 5, 5, 4], jnp.int32)
+
+    def fwd(c, pp):
+        return forward_with_ce(
+            {"main": pp["main"], "adv": pp["adv"], "mi": pp["mi"]},
+            consts, c, X, X, lengths, jax.random.PRNGKey(1),
+            jnp.asarray(0.5), train=True)
+
+    out_ps, out_b = fwd(cfg_ps, p), fwd(cfg_b, p)
+    np.testing.assert_array_equal(np.asarray(out_ps["recon_ce"]),
+                                  np.asarray(out_b["recon_ce"]))
+    np.testing.assert_array_equal(
+        np.asarray(out_ps["token_predictions"]),
+        np.asarray(out_b["token_predictions"]))
+
+    g_ps = jax.grad(lambda pp: fwd(cfg_ps, pp)["recon_ce"].sum())(p)
+    g_b = jax.grad(lambda pp: fwd(cfg_b, pp)["recon_ce"].sum())(p)
+    flat_ps, tree_ps = jax.tree_util.tree_flatten(g_ps)
+    flat_b, tree_b = jax.tree_util.tree_flatten(g_b)
+    assert tree_ps == tree_b
+    for a, b in zip(flat_ps, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
